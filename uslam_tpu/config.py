@@ -1,0 +1,205 @@
+"""Typed configuration for the whole framework.
+
+The reference hard-codes every constant inside class ``__init__``s and the ROS
+launch file (reference batch.py:95-118,183-189; launch/stereo.launch:36-47).
+Here everything lives in one frozen dataclass tree, loadable from a plain dict
+(and therefore from YAML/JSON) — this plays the role the
+``zed_imu_camera_altered.yaml`` calibration file plays in the reference
+(launch/stereo.launch:5-6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Stereo camera calibration.
+
+    Defaults are the ZED-mini constants pinned by the reference
+    (batch.py:110-117): ``Cal3_S2Stereo(1827.0, 1827.5999755859375, 0.0,
+    968.9000244140625, 561.4000244140625, 0.063)`` at 1920x1080.
+    """
+
+    fx: float = 1827.0
+    fy: float = 1827.5999755859375
+    skew: float = 0.0
+    cx: float = 968.9000244140625
+    cy: float = 561.4000244140625
+    baseline: float = 0.063  # metres
+    resolution_x: int = 1920
+    resolution_y: int = 1080
+
+    @property
+    def f_mean(self) -> float:
+        # batch.py:112 — f = (fx + fy) / 2 used for back-projection.
+        return (self.fx + self.fy) / 2.0
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    """IMU preintegration parameters (reference batch.py:178-193)."""
+
+    gravity: float = 9.81
+    accel_cov: float = 8.999999999999999e-08
+    gyro_cov: float = 1.2184696791468346e-07
+    integration_cov: float = 1e-07
+    bias_acc_cov: float = 0.1   # isotropic variance, batch.py:189
+    bias_gyro_cov: float = 0.1
+    default_dt: float = 0.005   # 200 Hz assumed, batch.py:34,290
+    # Max IMU samples buffered between two keyframes (static-shape pad).
+    # 200 Hz IMU at 5 Hz keyframes -> ~40; leave headroom.
+    max_samples_per_keyframe: int = 64
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Factor noise sigmas (reference batch.py:95-98,118,189)."""
+
+    # PriorFactorPose3 on X(0): rot sigmas then trans sigmas (batch.py:95).
+    prior_pose_sigmas: tuple = (0.1, 0.1, 0.1, 0.3, 0.3, 0.3)
+    prior_vel_sigma: float = 0.1       # batch.py:96
+    dvl_sigma: float = 0.1             # batch.py:98
+    stereo_sigma: float = 10.0         # landmark_noise, batch.py:118
+    # The reference inserts B(0) with NO prior (batch.py:274); the bias is
+    # constrained only through IMU factors. We keep a configurable bias prior
+    # (sigma on all 6 components); None disables it for strict reference
+    # semantics. SURVEY.md §2.1 recommends keeping it configurable.
+    prior_bias_sigma: float | None = 0.316227766016838  # sqrt(0.1)
+
+
+@dataclass(frozen=True)
+class PressureConfig:
+    """Depth-from-pressure conversion constants (reference batch.py:122-126).
+
+    depth = (press_abs_mbar * 100 - atm_pressure) / (water_density * g)
+    """
+
+    atm_pressure_pa: float = 98250.0
+    water_density: float = 997.0
+    gravity: float = 9.81
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """ORB front-end parameters.
+
+    Grid/feature budget mirrors the reference nodelet configuration
+    (launch/stereo.launch:37-47): 3 rows x 4 cols grid, <=4 features/cell,
+    FAST threshold 10, 3 pyramid levels, patch size 15, RANSAC threshold
+    3 px, stereo match threshold 5 px.
+    """
+
+    grid_rows: int = 3
+    grid_cols: int = 4
+    max_features_per_cell: int = 4
+    fast_threshold: float = 10.0
+    fast_arc_length: int = 9      # FAST-9
+    pyramid_levels: int = 3
+    pyramid_scale: float = 2.0
+    patch_size: int = 15          # orientation / descriptor patch radius base
+    descriptor_bits: int = 256
+    # Hamming matching
+    match_max_distance: int = 64          # max Hamming distance for a match
+    match_ratio: float = 0.8              # Lowe ratio test
+    stereo_max_v_diff: float = 5.0        # epipolar tolerance, stereo.launch:47
+    stereo_min_disparity: float = 0.25
+    ransac_threshold_px: float = 3.0      # stereo.launch:46
+    # Static shapes: features kept per frame = grid_rows*grid_cols*per_cell
+    # rounded up; candidate pool size before grid top-K.
+    max_candidates: int = 1024
+
+    @property
+    def max_features(self) -> int:
+        return self.grid_rows * self.grid_cols * self.max_features_per_cell
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Nonlinear solver parameters (GTSAM LM defaults, batch.py:337)."""
+
+    max_iterations: int = 100
+    lambda_initial: float = 1e-5
+    lambda_factor: float = 10.0
+    lambda_upper_bound: float = 1e5
+    lambda_lower_bound: float = 0.0
+    relative_error_tol: float = 1e-5
+    absolute_error_tol: float = 1e-5
+    error_tol: float = 0.0
+    # 'schur'   — blocked Schur complement over landmarks (default)
+    # 'dense'   — dense normal equations (small problems / tests)
+    linear_solver: str = "schur"
+    # Reduced camera system solve: 'cholesky' (dense block) or 'cg'.
+    reduced_solver: str = "cholesky"
+    cg_max_iterations: int = 200
+    cg_tol: float = 1e-8
+
+
+@dataclass(frozen=True)
+class TimeSyncConfig:
+    """Approximate time synchronization (reference batch.py:325):
+    queue 10, slop 0.2 s, allow_headerless."""
+
+    slop: float = 0.2
+    queue_size: int = 10
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation options (reference batch.py:362-367)."""
+
+    # Magic z-datum shift applied to odometry before MSE (batch.py:363).
+    # Eval-only; never enters the solver (SURVEY.md §7 'Gauge/datum').
+    z_datum_shift: float = 0.7433
+
+
+@dataclass(frozen=True)
+class UslamConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    pressure: PressureConfig = field(default_factory=PressureConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    timesync: TimeSyncConfig = field(default_factory=TimeSyncConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "UslamConfig":
+        sub_types = {f.name: f.default_factory for f in dataclasses.fields(cls)}
+        built = {}
+        for k, v in d.items():
+            if k not in sub_types:
+                raise KeyError(f"Unknown config section {k!r}")
+            klass = type(sub_types[k]())
+            built[k] = _build_dataclass(klass, v) if isinstance(v, dict) else v
+        return cls(**built)
+
+    @classmethod
+    def from_json(cls, path: str) -> "UslamConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+def _build_dataclass(klass, d: dict):
+    fields = {f.name for f in dataclasses.fields(klass)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"Unknown config key {klass.__name__}.{k}")
+        kwargs[k] = tuple(v) if isinstance(v, list) else v
+    return klass(**kwargs)
+
+
+DEFAULT_CONFIG = UslamConfig()

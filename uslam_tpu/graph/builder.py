@@ -1,0 +1,289 @@
+"""Host-side graph assembly -> static-shape device arrays.
+
+Replaces the per-keyframe Python loop in the reference's ``batch_create``
+(reference batch.py:270-305) — push ImuFactor + DVL factor per step, then
+insert-if-new landmark + stereo factor per feature — with an append-style
+builder that finalizes into struct-of-arrays the jit solver consumes.
+
+Replication notes (SURVEY.md §2.1):
+- Factor cadence matches the reference: priors only at keyframe 0; IMU + DVL
+  factors for every i >= 1; stereo factors for every feature at i >= 1
+  (the reference's ``else`` branch, batch.py:285-305).
+- Landmark ids are interned to dense rows; first observation wins for the
+  initial estimate (insert-if-new, batch.py:297-298).
+- IMU sample buffers are padded to a static S per interval (dt = 0 rows are
+  no-ops) and feature counts to bucketed F so jit shapes stay static.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uslam_tpu.config import UslamConfig
+from uslam_tpu.factors.imu import ImuIntervalData, preintegrate_with_cov, whitener_from_cov
+from uslam_tpu.geometry.se3 import Pose3
+from uslam_tpu.graph.values import Values
+
+
+class Priors(NamedTuple):
+    pose_quat: jnp.ndarray        # (4,)
+    pose_trans: jnp.ndarray       # (3,)
+    pose_sigmas: jnp.ndarray      # (6,) [rot x3, trans x3]
+    vel: jnp.ndarray              # (3,)
+    vel_sigma: jnp.ndarray        # ()
+    bias: jnp.ndarray             # (6,)
+    bias_weight: jnp.ndarray      # () = 1/sigma; 0 disables the bias prior
+
+
+class ImuIntervals(NamedTuple):
+    data: ImuIntervalData         # (N-1, S, ...) interval i couples frames (i, i+1)
+    whitener: jnp.ndarray         # (N-1, 9, 9) inv sqrt preintegration cov
+    mask: jnp.ndarray             # (N-1,) 1.0 where the interval has samples
+
+
+class DvlMeasurements(NamedTuple):
+    vel_body: jnp.ndarray         # (N, 3)
+    mask: jnp.ndarray             # (N,) 1.0 where a DVL factor exists (i >= 1)
+
+
+class StereoObservations(NamedTuple):
+    cam_idx: jnp.ndarray          # (F,) frame index
+    lm_idx: jnp.ndarray           # (F,) landmark row
+    meas: jnp.ndarray             # (F, 3) (uL, uR, v) pixels
+    mask: jnp.ndarray             # (F,) 1.0 valid
+    # Per-landmark observation grouping for the Schur complement:
+    lm_obs_idx: jnp.ndarray       # (M, K) indices into F (0-padded)
+    lm_obs_mask: jnp.ndarray      # (M, K)
+
+
+class GraphArrays(NamedTuple):
+    """The whole factor graph as one pytree of static-shape arrays."""
+
+    priors: Priors
+    imu: ImuIntervals
+    dvl: DvlMeasurements
+    stereo: StereoObservations
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Round up to the next power of two (bounds jit recompilations)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class GraphBuilder:
+    """Accumulates keyframes then finalizes to (GraphArrays, Values).
+
+    The public add-* surface mirrors what the reference's ``batch_update``
+    accumulates per synchronized triple (batch.py:253-267).
+    """
+
+    config: UslamConfig
+    poses: list = field(default_factory=list)        # (quat wxyz, trans) np
+    vels: list = field(default_factory=list)
+    imu_buffers: list = field(default_factory=list)  # per keyframe: (S_i, 7) [acc, gyro, dt]
+    dvl_vels: list = field(default_factory=list)
+    features: list = field(default_factory=list)     # per keyframe: list of (id, uL, uR, v)
+    landmark_init: dict = field(default_factory=dict)  # id -> np (3,)
+    _lm_rows: dict = field(default_factory=dict)     # id -> dense row
+
+    def add_keyframe(
+        self,
+        pose_quat: np.ndarray,
+        pose_trans: np.ndarray,
+        imu_samples: np.ndarray | None,
+        dvl_vel_body: np.ndarray | None,
+        features: list | None = None,
+        vel_init: np.ndarray | None = None,
+    ) -> int:
+        """Append one keyframe.
+
+        imu_samples: (S_i, 7) columns [ax, ay, az, gx, gy, gz, dt] buffered
+        since the previous keyframe (reference buffers 6-vectors and uses a
+        fixed dt, batch.py:138-141,290 — pass dt explicitly here).
+        features: iterable of (landmark_id, uL, uR, v, init_world_xyz).
+        """
+        self.poses.append((np.asarray(pose_quat, np.float64), np.asarray(pose_trans, np.float64)))
+        # Reference initializes every velocity to zero (batch.py:279).
+        self.vels.append(
+            np.zeros(3) if vel_init is None else np.asarray(vel_init, np.float64)
+        )
+        self.imu_buffers.append(
+            np.zeros((0, 7)) if imu_samples is None else np.asarray(imu_samples, np.float64)
+        )
+        self.dvl_vels.append(
+            np.zeros(3) if dvl_vel_body is None else np.asarray(dvl_vel_body, np.float64)
+        )
+        frame_feats = []
+        if features:
+            for lm_id, uL, uR, v, init_xyz in features:
+                if lm_id not in self._lm_rows:
+                    self._lm_rows[lm_id] = len(self._lm_rows)
+                    self.landmark_init[lm_id] = np.asarray(init_xyz, np.float64)
+                frame_feats.append((self._lm_rows[lm_id], uL, uR, v))
+        self.features.append(frame_feats)
+        return len(self.poses) - 1
+
+    @property
+    def num_keyframes(self) -> int:
+        return len(self.poses)
+
+    @property
+    def num_landmarks(self) -> int:
+        return len(self._lm_rows)
+
+    def finalize(self, dtype=jnp.float32, with_landmarks: bool = True):
+        """Build (GraphArrays, Values). ``with_landmarks`` mirrors the
+        reference's ``batch_create(with_landmark=...)`` switch (batch.py:270).
+        """
+        cfg = self.config
+        n = len(self.poses)
+        if n < 1:
+            raise ValueError("graph needs at least one keyframe")
+
+        quats = np.stack([q for q, _ in self.poses])
+        trans = np.stack([t for _, t in self.poses])
+        vels = np.stack(self.vels)
+
+        # --- IMU intervals: interval i uses samples buffered AT keyframe i+1
+        # (what arrived since keyframe i) — reference integrates
+        # imu_accum[i] right before pushing the factor for step i
+        # (batch.py:289-291).
+        S = max(
+            cfg.imu.max_samples_per_keyframe,
+            _bucket(max((b.shape[0] for b in self.imu_buffers[1:]), default=1)),
+        )
+        acc = np.zeros((max(n - 1, 1), S, 3))
+        gyro = np.zeros((max(n - 1, 1), S, 3))
+        dts = np.zeros((max(n - 1, 1), S))
+        imu_mask = np.zeros(max(n - 1, 1))
+        for i in range(1, n):
+            buf = self.imu_buffers[i]
+            s = min(buf.shape[0], S)
+            if s > 0:
+                acc[i - 1, :s] = buf[:s, 0:3]
+                gyro[i - 1, :s] = buf[:s, 3:6]
+                dts[i - 1, :s] = buf[:s, 6]
+                imu_mask[i - 1] = 1.0
+
+        # --- DVL: factor exists for i >= 1 (batch.py:292).
+        dvl = np.stack(self.dvl_vels)
+        dvl_mask = np.ones(n)
+        dvl_mask[0] = 0.0
+
+        # --- Stereo observations (i >= 1, batch.py:295-305).
+        obs = []
+        for i in range(1, n):
+            if not with_landmarks:
+                break
+            for lm_row, uL, uR, v, in self.features[i]:
+                obs.append((i, lm_row, uL, uR, v))
+        m = len(self._lm_rows) if with_landmarks else 0
+        f_real = len(obs)
+        F = _bucket(max(f_real, 1))
+        cam_idx = np.zeros(F, np.int32)
+        lm_idx = np.zeros(F, np.int32)
+        meas = np.zeros((F, 3))
+        s_mask = np.zeros(F)
+        for k, (ci, li, uL, uR, v) in enumerate(obs):
+            cam_idx[k], lm_idx[k] = ci, li
+            meas[k] = (uL, uR, v)
+            s_mask[k] = 1.0
+
+        # Per-landmark obs grouping (for Schur elimination).
+        M = max(m, 1)
+        per_lm = [[] for _ in range(M)]
+        for k in range(f_real):
+            per_lm[lm_idx[k]].append(k)
+        K = _bucket(max((len(o) for o in per_lm), default=1), minimum=2)
+        lm_obs_idx = np.zeros((M, K), np.int32)
+        lm_obs_mask = np.zeros((M, K))
+        for j, o in enumerate(per_lm):
+            o = o[:K]
+            lm_obs_idx[j, : len(o)] = o
+            lm_obs_mask[j, : len(o)] = 1.0
+
+        landmarks = np.zeros((M, 3))
+        if with_landmarks:
+            for lm_id, row in self._lm_rows.items():
+                landmarks[row] = self.landmark_init[lm_id]
+
+        noise = cfg.noise
+        bias_weight = (
+            0.0 if noise.prior_bias_sigma is None else 1.0 / noise.prior_bias_sigma
+        )
+        priors = Priors(
+            pose_quat=jnp.asarray(quats[0], dtype),
+            pose_trans=jnp.asarray(trans[0], dtype),
+            pose_sigmas=jnp.asarray(noise.prior_pose_sigmas, dtype),
+            vel=jnp.asarray(vels[0], dtype),
+            vel_sigma=jnp.asarray(noise.prior_vel_sigma, dtype),
+            bias=jnp.zeros(6, dtype),
+            bias_weight=jnp.asarray(bias_weight, dtype),
+        )
+
+        imu_data = ImuIntervalData(
+            acc=jnp.asarray(acc, dtype),
+            gyro=jnp.asarray(gyro, dtype),
+            dt=jnp.asarray(dts, dtype),
+        )
+        whitener = _compute_imu_whiteners(imu_data, cfg)
+        imu = ImuIntervals(
+            data=imu_data,
+            whitener=whitener,
+            mask=jnp.asarray(imu_mask, dtype),
+        )
+        dvl_arr = DvlMeasurements(
+            vel_body=jnp.asarray(dvl, dtype), mask=jnp.asarray(dvl_mask, dtype)
+        )
+        stereo = StereoObservations(
+            cam_idx=jnp.asarray(cam_idx),
+            lm_idx=jnp.asarray(lm_idx),
+            meas=jnp.asarray(meas, dtype),
+            mask=jnp.asarray(s_mask, dtype),
+            lm_obs_idx=jnp.asarray(lm_obs_idx),
+            lm_obs_mask=jnp.asarray(lm_obs_mask, dtype),
+        )
+        graph = GraphArrays(priors=priors, imu=imu, dvl=dvl_arr, stereo=stereo)
+        values = Values(
+            pose_quat=jnp.asarray(quats, dtype),
+            pose_trans=jnp.asarray(trans, dtype),
+            vel=jnp.asarray(vels, dtype),
+            bias=jnp.zeros(6, dtype),
+            landmarks=jnp.asarray(landmarks, dtype),
+        )
+        return graph, values
+
+    def landmark_rows(self) -> dict:
+        """id -> dense row mapping (for result extraction)."""
+        return dict(self._lm_rows)
+
+
+def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> jnp.ndarray:
+    """Preintegration covariance at zero bias -> whitening, vmapped over
+    intervals. Fixed at linearization like GTSAM's
+    PreintegratedImuMeasurements (reference batch.py:289-293)."""
+
+    @jax.jit
+    def run(d):
+        def one(interval):
+            _, P = preintegrate_with_cov(
+                interval,
+                jnp.zeros(6, d.acc.dtype),
+                cfg.imu.accel_cov,
+                cfg.imu.gyro_cov,
+                cfg.imu.integration_cov,
+            )
+            return whitener_from_cov(P, jitter=1e-10)
+
+        return jax.vmap(one)(d)
+
+    return run(data)

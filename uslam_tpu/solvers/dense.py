@@ -1,0 +1,127 @@
+"""Dense normal-equations assembly and Gauss-Newton solve.
+
+The reference hands its graph to GTSAM LM backed by SuiteSparse sparse
+factorization (batch.py:337). On TPU the small-problem path is simpler: one
+scatter-add assembled dense Hessian and a Cholesky solve — all MXU work.
+This is the test/verification solver; the production path is the Schur
+solver (:mod:`uslam_tpu.solvers.schur`).
+
+Tangent layout (graph/values.py): [frame_0(9) ... frame_{N-1}(9) | bias(6) |
+lm_0(3) ...]; each frame block is [pose(6), vel(3)].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM
+from uslam_tpu.solvers.linearize import Linearization
+
+
+def _block_rows(off, d):
+    """(F,) offsets + block dim -> (F, d) row indices."""
+    return off[:, None] + jnp.arange(d)[None, :]
+
+
+def scatter_H(H, off_a, off_b, blocks):
+    """H[off_a:off_a+da, off_b:off_b+db] += blocks, batched over factors.
+
+    off_a/off_b: (F,) int; blocks: (F, da, db).
+    """
+    da, db = blocks.shape[-2], blocks.shape[-1]
+    rows = _block_rows(off_a, da)[:, :, None]          # (F, da, 1)
+    cols = _block_rows(off_b, db)[:, None, :]          # (F, 1, db)
+    rows = jnp.broadcast_to(rows, blocks.shape)
+    cols = jnp.broadcast_to(cols, blocks.shape)
+    return H.at[rows, cols].add(blocks)
+
+
+def scatter_g(g, off, vecs):
+    """g[off:off+d] += vecs, batched. off: (F,), vecs: (F, d)."""
+    return g.at[_block_rows(off, vecs.shape[-1])].add(vecs)
+
+
+def assemble_dense(lin: Linearization, num_poses: int, num_landmarks: int):
+    """Build (H, g) = (J^T J, -J^T r) over the full tangent space."""
+    n, m = num_poses, num_landmarks
+    D = FRAME_DIM * n + BIAS_DIM + LM_DIM * m
+    bias_off = FRAME_DIM * n
+    lm_base = bias_off + BIAS_DIM
+    dtype = lin.stereo_r.dtype
+    H = jnp.zeros((D, D), dtype)
+    g = jnp.zeros(D, dtype)
+
+    def add_single(H, g, off, d, J, r):
+        H = H.at[off : off + d, off : off + d].add(J.T @ J)
+        g = g.at[off : off + d].add(-J.T @ r)
+        return H, g
+
+    # Priors (single factors on frame 0 / bias).
+    H, g = add_single(H, g, 0, POSE_DIM, lin.prior_pose_J, lin.prior_pose_r)
+    H, g = add_single(H, g, POSE_DIM, 3, lin.prior_vel_J, lin.prior_vel_r)
+    H, g = add_single(H, g, bias_off, BIAS_DIM, lin.prior_bias_J, lin.prior_bias_r)
+
+    # IMU: intervals k couple frames (k, k+1) + bias.
+    k = jnp.arange(lin.imu_r.shape[0])
+    offs = {
+        "pi": FRAME_DIM * k,
+        "vi": FRAME_DIM * k + POSE_DIM,
+        "pj": FRAME_DIM * (k + 1),
+        "vj": FRAME_DIM * (k + 1) + POSE_DIM,
+        "b": jnp.full_like(k, bias_off),
+    }
+    Js = {
+        "pi": lin.imu_J_pose_i,
+        "vi": lin.imu_J_vel_i,
+        "pj": lin.imu_J_pose_j,
+        "vj": lin.imu_J_vel_j,
+        "b": lin.imu_J_bias,
+    }
+    names = list(Js)
+    for a in names:
+        g = scatter_g(g, offs[a], -jnp.einsum("fda,fd->fa", Js[a], lin.imu_r))
+        for b in names:
+            blocks = jnp.einsum("fda,fdb->fab", Js[a], Js[b])
+            H = scatter_H(H, offs[a], offs[b], blocks)
+
+    # DVL: per-frame (pose, vel).
+    i = jnp.arange(lin.dvl_r.shape[0])
+    p_off, v_off = FRAME_DIM * i, FRAME_DIM * i + POSE_DIM
+    g = scatter_g(g, p_off, -jnp.einsum("fda,fd->fa", lin.dvl_J_pose, lin.dvl_r))
+    g = scatter_g(g, v_off, -jnp.einsum("fda,fd->fa", lin.dvl_J_vel, lin.dvl_r))
+    H = scatter_H(H, p_off, p_off, jnp.einsum("fda,fdb->fab", lin.dvl_J_pose, lin.dvl_J_pose))
+    H = scatter_H(H, p_off, v_off, jnp.einsum("fda,fdb->fab", lin.dvl_J_pose, lin.dvl_J_vel))
+    H = scatter_H(H, v_off, p_off, jnp.einsum("fda,fdb->fab", lin.dvl_J_vel, lin.dvl_J_pose))
+    H = scatter_H(H, v_off, v_off, jnp.einsum("fda,fdb->fab", lin.dvl_J_vel, lin.dvl_J_vel))
+
+    return H, g, lm_base
+
+
+def assemble_dense_with_landmarks(
+    lin: Linearization, cam_idx, lm_idx, num_poses: int, num_landmarks: int
+):
+    """Full dense (H, g) including stereo factors and landmark blocks."""
+    H, g, lm_base = assemble_dense(lin, num_poses, num_landmarks)
+    p_off = FRAME_DIM * cam_idx
+    l_off = lm_base + LM_DIM * lm_idx
+    g = scatter_g(g, p_off, -jnp.einsum("fda,fd->fa", lin.stereo_J_pose, lin.stereo_r))
+    g = scatter_g(g, l_off, -jnp.einsum("fda,fd->fa", lin.stereo_J_lm, lin.stereo_r))
+    H = scatter_H(H, p_off, p_off, jnp.einsum("fda,fdb->fab", lin.stereo_J_pose, lin.stereo_J_pose))
+    H = scatter_H(H, p_off, l_off, jnp.einsum("fda,fdb->fab", lin.stereo_J_pose, lin.stereo_J_lm))
+    H = scatter_H(H, l_off, p_off, jnp.einsum("fda,fdb->fab", lin.stereo_J_lm, lin.stereo_J_pose))
+    H = scatter_H(H, l_off, l_off, jnp.einsum("fda,fdb->fab", lin.stereo_J_lm, lin.stereo_J_lm))
+    return H, g
+
+
+def solve_dense_gn(H: jnp.ndarray, g: jnp.ndarray, damping: jnp.ndarray | float = 0.0):
+    """Solve (H + lambda I) delta = g by Cholesky.
+
+    A tiny diagonal floor keeps unconstrained padding rows (masked factors)
+    nonsingular without perturbing constrained directions.
+    """
+    D = H.shape[0]
+    Hd = H + (damping + 1e-8) * jnp.eye(D, dtype=H.dtype)
+    L = jnp.linalg.cholesky(Hd)
+    y = jax.scipy.linalg.solve_triangular(L, g, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)

@@ -1,0 +1,147 @@
+"""Levenberg-Marquardt outer loop as a ``lax.while_loop``.
+
+Mirrors GTSAM's ``LevenbergMarquardtOptimizer`` policy with default params
+(the exact configuration the reference runs at batch.py:337): lambda starts
+at 1e-5, multiplies/divides by 10 on reject/accept, and convergence follows
+GTSAM's ``checkConvergence`` (absolute decrease, relative decrease, or error
+floor). The whole optimization — linearize, Schur solve, retract, evaluate —
+is one compiled XLA program; no host round-trips per iteration.
+
+A rejected step re-linearizes at the unchanged values; XLA's CSE cannot
+remove that across loop iterations, but rejections are rare and
+linearization is cheap next to the reduced solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uslam_tpu.config import SolverConfig
+from uslam_tpu.geometry.camera import StereoCamera
+from uslam_tpu.graph.builder import GraphArrays
+from uslam_tpu.graph.values import Values, values_retract
+from uslam_tpu.solvers.dense import assemble_dense_with_landmarks, solve_dense_gn
+from uslam_tpu.solvers.linearize import graph_error, linearize_graph
+from uslam_tpu.solvers.schur import solve_schur
+
+
+class LMState(NamedTuple):
+    values: Values
+    error: jnp.ndarray
+    lam: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+class LMStats(NamedTuple):
+    initial_error: jnp.ndarray
+    final_error: jnp.ndarray
+    iterations: jnp.ndarray
+    final_lambda: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def optimize_lm(
+    graph: GraphArrays,
+    initial: Values,
+    cam: StereoCamera,
+    dvl_sigma: float,
+    stereo_sigma: float,
+    gravity: float,
+    cfg: SolverConfig = SolverConfig(),
+) -> tuple[Values, LMStats]:
+    """Run LM to convergence. Fully jittable (static shapes from the graph)."""
+    n = initial.num_poses
+    m = initial.num_landmarks
+
+    err_fn = partial(
+        graph_error,
+        graph,
+        cam=cam,
+        dvl_sigma=dvl_sigma,
+        stereo_sigma=stereo_sigma,
+        gravity=gravity,
+    )
+    lin_fn = partial(
+        linearize_graph,
+        graph,
+        cam=cam,
+        dvl_sigma=dvl_sigma,
+        stereo_sigma=stereo_sigma,
+        gravity=gravity,
+    )
+
+    use_schur = cfg.linear_solver == "schur"
+    use_cg = cfg.reduced_solver == "cg"
+
+    def solve(lin, lam):
+        if use_schur:
+            return solve_schur(
+                lin,
+                graph.stereo,
+                n,
+                m,
+                lam,
+                cg=use_cg,
+                cg_iters=cfg.cg_max_iterations,
+                cg_tol=cfg.cg_tol,
+            )
+        H, g = assemble_dense_with_landmarks(
+            lin, graph.stereo.cam_idx, graph.stereo.lm_idx, n, m
+        )
+        return solve_dense_gn(H, g, lam)
+
+    def step(state: LMState) -> LMState:
+        lin = lin_fn(values=state.values)
+        delta = solve(lin, state.lam)
+        candidate = values_retract(state.values, delta)
+        new_error = err_fn(values=candidate)
+        # Guard NaN/Inf (divergence detection — SURVEY.md §5 failure handling).
+        new_error = jnp.where(jnp.isfinite(new_error), new_error, jnp.inf)
+        accept = new_error < state.error
+
+        values = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), candidate, state.values
+        )
+        error = jnp.where(accept, new_error, state.error)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(state.lam / cfg.lambda_factor, cfg.lambda_lower_bound),
+            state.lam * cfg.lambda_factor,
+        )
+
+        # GTSAM checkConvergence on accepted steps.
+        decrease = jnp.abs(state.error - new_error)
+        converged = accept & (
+            (new_error <= cfg.error_tol)
+            | (decrease <= cfg.absolute_error_tol)
+            | (decrease <= cfg.relative_error_tol * state.error)
+        )
+        # Lambda blow-up => stuck; stop.
+        converged = converged | (lam > cfg.lambda_upper_bound)
+        return LMState(values, error, lam, state.iterations + 1, converged)
+
+    def cond(state: LMState):
+        return (state.iterations < cfg.max_iterations) & (~state.converged)
+
+    init_error = err_fn(values=initial)
+    state0 = LMState(
+        values=initial,
+        error=init_error,
+        lam=jnp.asarray(cfg.lambda_initial, init_error.dtype),
+        iterations=jnp.asarray(0),
+        converged=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, step, state0)
+    stats = LMStats(
+        initial_error=init_error,
+        final_error=final.error,
+        iterations=final.iterations,
+        final_lambda=final.lam,
+        converged=final.converged,
+    )
+    return final.values, stats
