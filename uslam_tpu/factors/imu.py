@@ -146,13 +146,18 @@ def preintegrate_with_cov(
         G_a_v = Rk * dt                    # dv rows
         G_a_p = 0.5 * Rk * dt * dt         # dp rows
 
+        # GTSAM semantics: accelerometer/gyroscope covariances are
+        # continuous-time noise densities; the discrete per-sample
+        # covariance is sigma^2 / dt (PreintegrationBase::integrateMeasurement),
+        # so each contribution below is G (sigma^2/dt) G^T ~ sigma^2 * dt.
+        inv_dt = jnp.where(dt > 0.0, 1.0 / jnp.maximum(dt, 1e-9), 0.0)
         Q = jnp.zeros((9, 9), dtype)
-        Q = Q.at[0:3, 0:3].set(gyro_cov * (G_g @ G_g.T))
-        Q = Q.at[3:6, 3:6].set(accel_cov * (G_a_v @ G_a_v.T))
-        Q = Q.at[3:6, 6:9].set(accel_cov * (G_a_v @ G_a_p.T))
-        Q = Q.at[6:9, 3:6].set(accel_cov * (G_a_p @ G_a_v.T))
+        Q = Q.at[0:3, 0:3].set(gyro_cov * inv_dt * (G_g @ G_g.T))
+        Q = Q.at[3:6, 3:6].set(accel_cov * inv_dt * (G_a_v @ G_a_v.T))
+        Q = Q.at[3:6, 6:9].set(accel_cov * inv_dt * (G_a_v @ G_a_p.T))
+        Q = Q.at[6:9, 3:6].set(accel_cov * inv_dt * (G_a_p @ G_a_v.T))
         Q = Q.at[6:9, 6:9].set(
-            accel_cov * (G_a_p @ G_a_p.T)
+            accel_cov * inv_dt * (G_a_p @ G_a_p.T)
             + integration_cov * dt * jnp.eye(3, dtype=dtype)
         )
 

@@ -35,6 +35,9 @@ class SyntheticSpec:
     omega: float = 0.25             # rad/s around the circle
     climb_rate: float = -0.02       # m/s (slow dive)
     z0: float = -2.0                # initial depth (z, world)
+    ramp_tau: float = 2.0           # s; speed ramps 0 -> omega*R (rest start,
+                                    # consistent with the zero-velocity prior
+                                    # the reference puts on V(0), batch.py:282)
     num_landmarks: int = 200
     landmark_ring_width: float = 3.0
     landmark_z_spread: float = 2.0
@@ -56,24 +59,34 @@ def _pose_at(spec: SyntheticSpec, t: np.ndarray):
     Returns dict of arrays: pos (T,3), R (T,3,3) world_T_body rotation,
     vel (T,3) world, acc (T,3) world, omega_body (T,3).
     """
-    th = spec.omega * t
+    # Smooth rest-start angle profile: th(t) = omega (t - tau (1 - e^{-t/tau}))
+    # => th' = omega (1 - e^{-t/tau}) (0 at t=0), th'' = (omega/tau) e^{-t/tau}.
+    tau = spec.ramp_tau
+    e = np.exp(-t / tau)
+    th = spec.omega * (t - tau * (1.0 - e))
+    dth = spec.omega * (1.0 - e)
+    ddth = (spec.omega / tau) * e
     c, s = np.cos(th), np.sin(th)
     R_c = spec.radius
     pos = np.stack([R_c * c, R_c * s, spec.z0 + spec.climb_rate * t], axis=-1)
     vel = np.stack(
-        [-R_c * spec.omega * s, R_c * spec.omega * c, np.full_like(t, spec.climb_rate)],
-        axis=-1,
+        [-R_c * dth * s, R_c * dth * c, np.full_like(t, spec.climb_rate)], axis=-1
     )
     acc = np.stack(
-        [-R_c * spec.omega**2 * c, -R_c * spec.omega**2 * s, np.zeros_like(t)], axis=-1
+        [
+            -R_c * ddth * s - R_c * dth**2 * c,
+            R_c * ddth * c - R_c * dth**2 * s,
+            np.zeros_like(t),
+        ],
+        axis=-1,
     )
     # Body axes in world coords: z forward (tangent), y down, x right.
     zb = np.stack([-s, c, np.zeros_like(t)], axis=-1)
     yb = np.stack([np.zeros_like(t), np.zeros_like(t), -np.ones_like(t)], axis=-1)
     xb = np.cross(yb, zb)
     R = np.stack([xb, yb, zb], axis=-1)  # columns are body axes
-    # Frame spins about world z at rate omega: omega_world = (0,0,omega).
-    om_w = np.broadcast_to(np.array([0.0, 0.0, spec.omega]), pos.shape)
+    # Frame spins about world z at rate th'(t).
+    om_w = np.stack([np.zeros_like(t), np.zeros_like(t), dth], axis=-1)
     om_b = np.einsum("tij,tj->ti", np.swapaxes(R, -1, -2), om_w)
     return {"pos": pos, "R": R, "vel": vel, "acc": acc, "omega_body": om_b}
 

@@ -1,0 +1,191 @@
+"""Device-mesh sharding of the SLAM solve.
+
+Scaling design (SURVEY.md §2.2): the only parallel axes this problem has
+are frames (front-end, embarrassingly parallel) and landmarks (Schur
+elimination). Here the LM linear-solve step is sharded over **landmarks**:
+
+- every device holds the (small, replicated) camera-state arrays and the
+  flat stereo linearization;
+- the per-landmark observation groups (``lm_obs_idx``/``lm_obs_mask``) and
+  the landmark estimates are sharded along the landmark axis;
+- each device eliminates its landmark shard and produces a partial reduced
+  camera Hessian/gradient; one ``psum`` over the mesh combines them
+  (this psum is the entire "communication backend" — it rides ICI);
+- the reduced solve is replicated (tiny next to elimination);
+- landmark back-substitution happens shard-locally.
+
+The reference has no distributed anything (single-host ROS pub/sub,
+reference batch.py:319-326); this module is the TPU-native scaling story.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uslam_tpu.graph.builder import GraphArrays
+from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM, Values, values_retract
+from uslam_tpu.solvers.dense import assemble_dense, scaled_cho_solve, scatter_H, scatter_g
+from uslam_tpu.solvers.linearize import linearize_graph
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "devices") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_landmarks(graph: GraphArrays, values: Values, mesh: Mesh, axis: str = "devices"):
+    """Place arrays on the mesh: landmark-axis arrays sharded, rest replicated."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    stereo = graph.stereo._replace(
+        cam_idx=jax.device_put(graph.stereo.cam_idx, repl),
+        lm_idx=jax.device_put(graph.stereo.lm_idx, repl),
+        meas=jax.device_put(graph.stereo.meas, repl),
+        mask=jax.device_put(graph.stereo.mask, repl),
+        lm_obs_idx=jax.device_put(graph.stereo.lm_obs_idx, shard),
+        lm_obs_mask=jax.device_put(graph.stereo.lm_obs_mask, shard),
+    )
+    graph = GraphArrays(
+        priors=jax.device_put(graph.priors, repl),
+        imu=jax.device_put(graph.imu, repl),
+        dvl=jax.device_put(graph.dvl, repl),
+        stereo=stereo,
+    )
+    values = Values(
+        pose_quat=jax.device_put(values.pose_quat, repl),
+        pose_trans=jax.device_put(values.pose_trans, repl),
+        vel=jax.device_put(values.vel, repl),
+        bias=jax.device_put(values.bias, repl),
+        landmarks=jax.device_put(values.landmarks, shard),
+    )
+    return graph, values
+
+
+def sharded_lm_step(
+    graph: GraphArrays,
+    values: Values,
+    cam,
+    dvl_sigma: float,
+    stereo_sigma: float,
+    gravity: float,
+    damping: float,
+    mesh: Mesh,
+    axis: str = "devices",
+) -> Values:
+    """One full Gauss-Newton/LM step (linearize -> landmark-sharded Schur ->
+    replicated reduced solve -> shard-local back-substitution -> retract).
+
+    This is the "training step" the multi-chip dry-run compiles: real
+    landmark-axis sharding with psum/all_gather collectives.
+    """
+    n = values.num_poses
+    Dc = FRAME_DIM * n + BIAS_DIM
+
+    # Everything the step needs, split into replicated vs landmark-sharded.
+    graph_rep = GraphArrays(
+        priors=graph.priors,
+        imu=graph.imu,
+        dvl=graph.dvl,
+        stereo=graph.stereo._replace(
+            # lm grouping travels separately (sharded); zero-size dummies here.
+            lm_obs_idx=jnp.zeros((0,), jnp.int32),
+            lm_obs_mask=jnp.zeros((0,), graph.stereo.lm_obs_mask.dtype),
+        ),
+    )
+
+    def step(graph_rep, lm_obs_idx, lm_obs_mask, landmarks_shard, pq, pt, vel, bias):
+        # Landmarks live sharded; the flat stereo linearization indexes
+        # global landmark rows, so all-gather the (small) landmark table.
+        lm_full = jax.lax.all_gather(landmarks_shard, axis, tiled=True)
+        vals_full = Values(pq, pt, vel, bias, lm_full)
+        lin = linearize_graph(graph_rep, vals_full, cam, dvl_sigma, stereo_sigma, gravity)
+
+        lam = jnp.asarray(damping, lin.stereo_r.dtype)
+        H_cc, g_c, _ = assemble_dense(lin, n, 0)
+        Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
+        cam_idx = graph_rep.stereo.cam_idx
+        p_off = FRAME_DIM * cam_idx
+        # Pose-diagonal stereo terms: identical on every device (replicated
+        # flat arrays) — added outside the psum.
+        H_cc = scatter_H(H_cc, p_off, p_off, jnp.einsum("fda,fdb->fab", Jp, Jp))
+        g_c = scatter_g(g_c, p_off, -jnp.einsum("fda,fd->fa", Jp, r))
+
+        # ---- shard-local landmark elimination ----
+        mask_b = lm_obs_mask[..., None, None]
+        Jl_g = Jl[lm_obs_idx] * mask_b                        # (m_loc,K,3,3)
+        r_g = r[lm_obs_idx] * lm_obs_mask[..., None]          # (m_loc,K,3)
+        Hll = jnp.einsum("mkda,mkdb->mab", Jl_g, Jl_g)
+        g_l = -jnp.einsum("mkda,mkd->ma", Jl_g, r_g)
+        eye3 = jnp.eye(LM_DIM, dtype=r.dtype)
+        Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
+        Wg = jnp.einsum("mkda,mkdb->mkab", Jp[lm_obs_idx] * mask_b, Jl_g)
+        cam_g = cam_idx[lm_obs_idx]
+
+        y = jnp.einsum("mab,mb->ma", Hll_inv, g_l)
+        g_corr_local = scatter_g(
+            jnp.zeros(Dc, r.dtype),
+            (FRAME_DIM * cam_g).reshape(-1),
+            -jnp.einsum("mkab,mb->mka", Wg, y).reshape(-1, POSE_DIM),
+        )
+        Y = jnp.einsum("mkab,mbc->mkac", Wg, Hll_inv)
+        corr = jnp.einsum("mkac,mlbc->mklab", Y, Wg)
+        K = Wg.shape[1]
+        rows = (FRAME_DIM * cam_g)[:, :, None].repeat(K, axis=2).reshape(-1)
+        cols = (FRAME_DIM * cam_g)[:, None, :].repeat(K, axis=1).reshape(-1)
+        H_corr_local = scatter_H(
+            jnp.zeros((Dc, Dc), r.dtype), rows, cols,
+            -corr.reshape(-1, POSE_DIM, POSE_DIM),
+        )
+
+        # ---- the one collective: combine landmark-shard contributions ----
+        H_red = H_cc + jax.lax.psum(H_corr_local, axis)
+        g_red = g_c + jax.lax.psum(g_corr_local, axis)
+
+        H_red = H_red + (lam + 1e-8) * jnp.eye(Dc, dtype=r.dtype)
+        delta_c = scaled_cho_solve(H_red, g_red)
+
+        # ---- shard-local back-substitution ----
+        frames = delta_c[: FRAME_DIM * n].reshape(n, FRAME_DIM)
+        dpose_g = frames[:, :POSE_DIM][cam_g]
+        rhs = g_l - jnp.einsum("mkab,mka->mb", Wg, dpose_g)
+        delta_l_local = jnp.einsum("mab,mb->ma", Hll_inv, rhs)
+
+        delta_l = jax.lax.all_gather(delta_l_local, axis, tiled=True)
+        delta = jnp.concatenate([delta_c, delta_l.reshape(-1)])
+        return values_retract(vals_full, delta)
+
+    spec_lm = P(axis)
+    spec_rep = P()
+    graph_rep_specs = jax.tree.map(lambda _: spec_rep, graph_rep)
+    step_sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            graph_rep_specs, spec_lm, spec_lm, spec_lm,
+            spec_rep, spec_rep, spec_rep, spec_rep,
+        ),
+        out_specs=Values(
+            pose_quat=spec_rep, pose_trans=spec_rep, vel=spec_rep,
+            bias=spec_rep, landmarks=spec_rep,
+        ),
+    )
+    return step_sharded(
+        graph_rep,
+        graph.stereo.lm_obs_idx,
+        graph.stereo.lm_obs_mask,
+        values.landmarks,
+        values.pose_quat,
+        values.pose_trans,
+        values.vel,
+        values.bias,
+    )

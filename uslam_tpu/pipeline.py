@@ -1,0 +1,301 @@
+"""Public SLAM pipeline API.
+
+Mirrors the surface of the reference's ``AUV_ISAM`` class + ``__main__``
+(reference batch.py:74-343) without ROS: callbacks become plain method
+calls, the ApproximateTimeSynchronizer becomes the offline join in
+:mod:`uslam_tpu.io.timesync`, and the solve is the jitted LM+Schur program.
+
+Method map (reference -> here):
+
+    process_depth   (batch.py:122)  -> process_depth
+    process_odom    (batch.py:128)  -> process_odom
+    update_imu      (batch.py:138)  -> update_imu
+    get_landmarks   (batch.py:144)  -> get_landmarks
+    batch_update    (batch.py:253)  -> batch_update
+    batch_create    (batch.py:270)  -> batch_create
+    LM solve        (batch.py:337)  -> solve
+    graph.saveGraph (batch.py:338)  -> save_graph_dot
+    constr3DPoints  (batch.py:57)   -> trajectory / eval.trajectory_from_values
+    plot + MSE      (batch.py:345+) -> plot / evaluate
+
+Deliberate fixes vs the reference (SURVEY.md §2.1 — parity targets the
+intended math): landmarks triangulate from the *current keyframe pose*
+rather than a stale TF lookup; DVL Jacobians come from AD; dt can follow
+real stamps (config); velocities/bias handled identically otherwise.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uslam_tpu.config import DEFAULT_CONFIG, UslamConfig
+from uslam_tpu.eval.graphviz import save_graph_dot as _save_dot
+from uslam_tpu.eval.metrics import ate_rmse, mse_reference_compat, trajectory_from_values
+from uslam_tpu.eval.plot import plot_trajectory_3d
+from uslam_tpu.factors.depth import pressure_to_depth
+from uslam_tpu.geometry.camera import StereoCamera, triangulate_stereo
+from uslam_tpu.geometry.se3 import Pose3
+from uslam_tpu.graph.builder import GraphArrays, GraphBuilder
+from uslam_tpu.graph.values import Values
+from uslam_tpu.io.sequence import SensorSequence
+from uslam_tpu.io.timesync import approximate_time_join, slice_stream
+from uslam_tpu.solvers.lm import LMStats, optimize_lm
+from uslam_tpu.utils.logging import get_logger
+
+log = get_logger("pipeline")
+
+
+@dataclass
+class SlamResult:
+    values: Values
+    stats: LMStats
+    graph: GraphArrays
+    odom_compare: np.ndarray      # unmodified DVL odometry (eval baseline,
+                                  # the reference's pose_norm accumulation)
+    solve_seconds: float
+    metrics: dict = field(default_factory=dict)
+
+    @property
+    def trajectory(self) -> np.ndarray:
+        return trajectory_from_values(self.values)
+
+
+class AUVSlam:
+    """Batch SLAM pipeline with the reference's public API surface."""
+
+    def __init__(self, config: UslamConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.cam = StereoCamera.from_config(config.camera)
+        self.builder = GraphBuilder(config)
+        self.depth: float | None = None
+        self._imu_buffer: list = []
+        self.odom_compare: list = []   # unmodified DVL poses (batch.py:257)
+        self._graph_cache = None
+
+    # ---- measurement processing (reference L3) --------------------------
+
+    def process_depth(self, press_abs_mbar: float) -> float:
+        """Pressure (mbar) -> depth (m); also latches it like the reference
+        callback does (batch.py:37-38,122-126)."""
+        self.depth = float(pressure_to_depth(press_abs_mbar, self.config.pressure))
+        return self.depth
+
+    def process_odom(self, quat_wxyz, pos_xyz, depth):
+        """DVL pose -> (pose_adjust, pose_norm): z replaced by pressure depth
+        for the initial estimate; untouched copy kept as the eval baseline
+        (batch.py:128-136)."""
+        quat = np.asarray(quat_wxyz, np.float64)
+        pos = np.asarray(pos_xyz, np.float64)
+        pos_adjust = np.array([pos[0], pos[1], depth])
+        return (quat, pos_adjust), (quat, pos)
+
+    def update_imu(self, acc, gyro, dt: float | None = None):
+        """Buffer one IMU sample (batch.py:138-141). ``dt`` defaults to the
+        reference's fixed 0.005 s (batch.py:34,290)."""
+        if dt is None:
+            dt = self.config.imu.default_dt
+        self._imu_buffer.append(np.concatenate([np.asarray(acc), np.asarray(gyro), [dt]]))
+
+    def get_landmarks(self, ids, u0, v0, u1, v1, pose_quat, pose_trans):
+        """De-normalize features and triangulate to world points
+        (batch.py:144-176), using the given keyframe pose (instead of the
+        reference's stale latest-TF transform — batch.py:166 bug).
+
+        Returns list of (id, uL, uR, v, world_xyz).
+        """
+        cfg = self.config.camera
+        u0 = np.asarray(u0, np.float64)
+        v0 = np.asarray(v0, np.float64)
+        u1 = np.asarray(u1, np.float64)
+        v1 = np.asarray(v1, np.float64)
+        uL = (u0 + 1.0) * 0.5 * cfg.resolution_x
+        uR = (u1 + 1.0) * 0.5 * cfg.resolution_x
+        v = ((v0 + v1) / 2.0 + 1.0) * 0.5 * cfg.resolution_y
+        meas = jnp.asarray(np.stack([uL, uR, v], axis=-1), jnp.float32)
+        pose = Pose3(
+            jnp.asarray(pose_quat, jnp.float32), jnp.asarray(pose_trans, jnp.float32)
+        )
+        world = np.asarray(jax.vmap(lambda m: triangulate_stereo(self.cam, pose, m))(meas))
+        return [
+            (int(ids[k]), float(uL[k]), float(uR[k]), float(v[k]), world[k])
+            for k in range(len(ids))
+        ]
+
+    # ---- accumulation (reference batch_update, batch.py:253-267) ---------
+
+    def batch_update(self, odom_quat, odom_pos, dvl_vel_body, depth, features=None):
+        """Add one synchronized keyframe.
+
+        features: (ids, u0, v0, u1, v1) normalized coords, or None.
+        Swaps out the IMU buffer exactly like batch.py:261-262.
+        """
+        (quat, pos_adj), (quat_n, pos_n) = self.process_odom(odom_quat, odom_pos, depth)
+        self.odom_compare.append(pos_n)
+        imu = np.stack(self._imu_buffer) if self._imu_buffer else None
+        self._imu_buffer = []
+        feats = None
+        if features is not None and len(features[0]) > 0:
+            ids, u0, v0, u1, v1 = features
+            feats = self.get_landmarks(ids, u0, v0, u1, v1, quat, pos_adj)
+        self.builder.add_keyframe(quat, pos_adj, imu, np.asarray(dvl_vel_body), feats)
+        self._graph_cache = None
+        return self.builder.num_keyframes - 1
+
+    # ---- graph build + solve --------------------------------------------
+
+    def batch_create(self, with_landmark: bool = True):
+        """Finalize accumulated keyframes into (GraphArrays, Values)
+        (reference batch_create, batch.py:270-305)."""
+        graph, initial = self.builder.finalize(with_landmarks=with_landmark)
+        self._graph_cache = (graph, initial)
+        return graph, initial
+
+    def solve(self, with_landmark: bool = True) -> SlamResult:
+        """LM optimize (reference batch.py:336-338) and package results."""
+        if self._graph_cache is None:
+            self.batch_create(with_landmark)
+        graph, initial = self._graph_cache
+        cfg = self.config
+        t0 = time.perf_counter()
+        values, stats = run_solver(
+            graph,
+            initial,
+            self.cam,
+            cfg.noise.dvl_sigma,
+            cfg.noise.stereo_sigma,
+            cfg.imu.gravity,
+            cfg.solver,
+        )
+        jax.block_until_ready(values)
+        dt = time.perf_counter() - t0
+        odom = np.stack(self.odom_compare) if self.odom_compare else np.zeros((0, 3))
+        result = SlamResult(
+            values=values,
+            stats=stats,
+            graph=graph,
+            odom_compare=odom,
+            solve_seconds=dt,
+        )
+        result.metrics = self.evaluate(result)
+        log.info(
+            "solve: %d poses, %d landmarks, %d LM iters, error %.3e -> %.3e, %.2fs",
+            initial.num_poses,
+            initial.num_landmarks,
+            int(stats.iterations),
+            float(stats.initial_error),
+            float(stats.final_error),
+            dt,
+        )
+        return result
+
+    # ---- evaluation / export --------------------------------------------
+
+    def evaluate(self, result: SlamResult) -> dict[str, Any]:
+        traj = result.trajectory
+        metrics: dict[str, Any] = {
+            "num_poses": int(result.values.num_poses),
+            "num_landmarks": int(result.values.num_landmarks),
+            "lm_iterations": int(result.stats.iterations),
+            "initial_error": float(result.stats.initial_error),
+            "final_error": float(result.stats.final_error),
+            "converged": bool(result.stats.converged),
+            "solve_seconds": result.solve_seconds,
+        }
+        if len(result.odom_compare) == len(traj) and len(traj) > 0:
+            metrics["mse_vs_odom"] = mse_reference_compat(
+                traj, result.odom_compare, self.config.eval.z_datum_shift
+            )
+            metrics["ate_rmse_vs_odom"] = ate_rmse(traj, result.odom_compare)
+        return metrics
+
+    def save_graph_dot(self, path: str) -> None:
+        if self._graph_cache is None:
+            self.batch_create()
+        graph, initial = self._graph_cache
+        _save_dot(path, graph, initial.num_poses, initial.num_landmarks)
+
+    def plot(self, result: SlamResult, save_path: str | None = None, show: bool = False):
+        return plot_trajectory_3d(
+            result.trajectory, result.odom_compare, save_path=save_path, show=show
+        )
+
+
+def run_solver(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg):
+    """Jitted LM entry (shared by pipeline, bench and __graft_entry__).
+
+    Matmul precision is pinned to 'highest': v5e MXU f32 matmuls default to
+    bf16-accumulate passes, which is not enough for normal-equation solves.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _jitted_lm(
+            graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+        )
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg"))
+def _jitted_lm(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg):
+    return optimize_lm(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg)
+
+
+def run_sequence(
+    seq: SensorSequence,
+    config: UslamConfig = DEFAULT_CONFIG,
+    with_landmarks: bool = True,
+) -> SlamResult:
+    """Offline end-to-end driver: replaces the reference ``__main__`` loop
+    (batch.py:309-343) — replay the sequence through time sync, accumulate
+    keyframes, then solve once at the end (the rosbag-exit trigger becomes
+    simply reaching EOF; SURVEY.md C13).
+    """
+    slam = AUVSlam(config)
+
+    feat_t = np.array([f.t for f in seq.features]) if seq.features else np.zeros(0)
+    streams = [seq.dvl_twist_t] + ([feat_t] if len(feat_t) else [])
+    triples = approximate_time_join(seq.dvl_pose_t, streams, config.timesync.slop)
+
+    prev_t = None
+    fixed_dt = config.imu.default_dt
+    for pivot_i, picks in triples:
+        t = float(seq.dvl_pose_t[pivot_i])
+        # Latest pressure at or before t (the reference uses the most recent
+        # callback value, batch.py:54).
+        pi = int(np.searchsorted(seq.pressure_t, t, side="right")) - 1
+        if pi < 0:
+            continue  # reference drops triples until a depth exists (batch.py:54)
+        depth = float(pressure_to_depth(seq.pressure_mbar[pi], config.pressure))
+
+        # IMU samples since the previous keyframe.
+        lo_t = prev_t if prev_t is not None else -np.inf
+        sl = slice_stream(seq.imu_t, lo_t, t)
+        for k in range(sl.start, sl.stop):
+            slam.update_imu(seq.imu_acc[k], seq.imu_gyro[k], fixed_dt)
+        prev_t = t
+
+        features = None
+        if len(feat_t):
+            ff = seq.features[picks[1]]
+            features = (ff.ids, ff.u0, ff.v0, ff.u1, ff.v1)
+
+        slam.batch_update(
+            seq.dvl_pose_quat[pivot_i],
+            seq.dvl_pose_pos[pivot_i],
+            seq.dvl_twist_vel[picks[0]],
+            depth,
+            features,
+        )
+
+    result = slam.solve(with_landmark=with_landmarks)
+    if seq.gt_pos is not None and len(seq.gt_pos) >= len(result.trajectory):
+        result.metrics["ate_rmse_vs_gt"] = ate_rmse(
+            result.trajectory, seq.gt_pos[: len(result.trajectory)]
+        )
+    return result

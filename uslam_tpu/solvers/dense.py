@@ -114,14 +114,43 @@ def assemble_dense_with_landmarks(
     return H, g
 
 
+def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky solve with symmetric Jacobi scaling.
+
+    The whitened normal equations span ~8 orders of magnitude on the
+    diagonal (IMU whitening vs landmark blocks); factoring
+    D^-1/2 H D^-1/2 (unit diagonal) keeps every pivot O(1) so f32 Cholesky
+    never goes negative from rounding. This is what lets the whole solver
+    stay in f32 on the MXU instead of needing f64.
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-20))
+    d_inv = 1.0 / d
+    Hs = H * d_inv[:, None] * d_inv[None, :]
+    # Relative jitter: f32 Schur assembly can leave eigenvalues ~-1e-7 on
+    # the unit-diagonal scaled system; 1e-6*I keeps Cholesky strictly PD.
+    # The jitter's bias on weakly-observable directions is then removed by
+    # a few steps of iterative refinement (the jittered factorization acts
+    # as a preconditioner for the unjittered system).
+    Hj = Hs + 1e-6 * jnp.eye(H.shape[0], dtype=H.dtype)
+    L = jnp.linalg.cholesky(Hj)
+
+    def tri_solve(b):
+        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    bs = g * d_inv
+    x = tri_solve(bs)
+    for _ in range(3):
+        x = x + tri_solve(bs - Hs @ x)
+    return x * d_inv
+
+
 def solve_dense_gn(H: jnp.ndarray, g: jnp.ndarray, damping: jnp.ndarray | float = 0.0):
-    """Solve (H + lambda I) delta = g by Cholesky.
+    """Solve (H + lambda I) delta = g by scaled Cholesky.
 
     A tiny diagonal floor keeps unconstrained padding rows (masked factors)
     nonsingular without perturbing constrained directions.
     """
     D = H.shape[0]
     Hd = H + (damping + 1e-8) * jnp.eye(D, dtype=H.dtype)
-    L = jnp.linalg.cholesky(Hd)
-    y = jax.scipy.linalg.solve_triangular(L, g, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return scaled_cho_solve(Hd, g)

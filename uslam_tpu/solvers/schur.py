@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from uslam_tpu.graph.builder import StereoObservations
 from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM
-from uslam_tpu.solvers.dense import assemble_dense, scatter_H, scatter_g
+from uslam_tpu.solvers.dense import assemble_dense, scaled_cho_solve, scatter_H, scatter_g
 from uslam_tpu.solvers.linearize import Linearization
 
 
@@ -95,9 +95,7 @@ def solve_schur(
     if cg:
         delta_c = _cg_solve(H_red, g_c, cg_iters, cg_tol)
     else:
-        L = jnp.linalg.cholesky(H_red)
-        z = jax.scipy.linalg.solve_triangular(L, g_c, lower=True)
-        delta_c = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        delta_c = scaled_cho_solve(H_red, g_c)
 
     # Back-substitute landmarks: dl_j = Hll_j^-1 (g_l_j - sum_k W_{jk}^T dc_k).
     frames = delta_c[: FRAME_DIM * n].reshape(n, FRAME_DIM)
@@ -110,31 +108,37 @@ def solve_schur(
 
 
 def _cg_solve(A, b, iters: int, tol: float):
-    """Plain CG with Jacobi preconditioner (matrix-materialized variant).
+    """CG on the symmetrically Jacobi-scaled system.
 
+    The raw normal equations here are brutally ill-conditioned in f32 (IMU
+    whitening spans ~1e4 in scale), so we solve
+    (D^-1/2 A D^-1/2) y = D^-1/2 b with D = diag(A), then x = D^-1/2 y —
+    mathematically Jacobi-PCG but with far better f32 rounding behavior.
     Kept for very large reduced systems where Cholesky's O(Dc^3) dominates;
     the matvec is a single MXU matmul.
     """
-    d_inv = 1.0 / jnp.maximum(jnp.diag(A), 1e-12)
+    d = jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-20))
+    d_inv = 1.0 / d
+    As = A * d_inv[:, None] * d_inv[None, :]
+    bs = b * d_inv
+    b_norm_sq = jnp.maximum(bs @ bs, 1e-30)
 
     def body(state):
-        x, rr, p, rz, it = state
-        Ap = A @ p
-        alpha = rz / jnp.maximum(p @ Ap, 1e-30)
+        x, r, p, rr, it = state
+        Ap = As @ p
+        pAp = p @ Ap
+        alpha = jnp.where(pAp > 1e-30, rr / jnp.maximum(pAp, 1e-30), 0.0)
         x = x + alpha * p
-        rr = rr - alpha * Ap
-        z = d_inv * rr
-        rz_new = rr @ z
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return x, rr, p, rz_new, it + 1
+        r = r - alpha * Ap
+        rr_new = r @ r
+        beta = jnp.where(rr > 1e-30, rr_new / jnp.maximum(rr, 1e-30), 0.0)
+        p = r + beta * p
+        return x, r, p, rr_new, it + 1
 
     def cond(state):
-        _, rr, _, _, it = state
-        return jnp.logical_and(it < iters, rr @ rr > tol * tol)
+        _, _, _, rr, it = state
+        return jnp.logical_and(it < iters, rr > tol * tol * b_norm_sq)
 
-    x0 = jnp.zeros_like(b)
-    z0 = d_inv * b
-    state = (x0, b, z0, b @ z0, 0)
-    x, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    state = (jnp.zeros_like(bs), bs, bs, bs @ bs, 0)
+    y, *_ = jax.lax.while_loop(cond, body, state)
+    return y * d_inv
