@@ -133,6 +133,10 @@ class SolverConfig:
     # 'schur'   — blocked Schur complement over landmarks (default)
     # 'dense'   — dense normal equations (small problems / tests)
     linear_solver: str = "schur"
+    # Observation budget per landmark (caps the Schur group dimension K and
+    # with it the M*K^2 correction tensor; observations beyond the cap are
+    # dropped at graph build — standard BA budgeting).
+    max_obs_per_landmark: int = 64
     # Reduced camera system solve: 'cholesky' (dense block) or 'cg'.
     reduced_solver: str = "cholesky"
     cg_max_iterations: int = 200

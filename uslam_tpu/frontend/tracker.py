@@ -1,0 +1,137 @@
+"""Stereo front-end with persistent track ids.
+
+The full replacement for the ``ImageProcessorNodelet`` pipeline
+(launch/stereo.launch:33-54): per stereo pair — ORB extraction on both
+images, left<->right stereo matching, left<->previous-left temporal matching
+for persistent ids, translation-RANSAC outlier rejection (the nodelet's
+2-pt RANSAC with 3 px threshold, stereo.launch:46) — and emits feature
+frames in the nodelet's output contract: normalized [-1, 1] coordinates
+with persistent integer ids (consumed via de-normalization at
+reference batch.py:152-154).
+
+The compute path (extract/match/ransac) is jit; only the id interning is
+host-side Python (inherently sequential, trivial cost).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uslam_tpu.config import CameraConfig, FrontendConfig
+from uslam_tpu.frontend.match import match_descriptors, stereo_match
+from uslam_tpu.frontend.orb import Keypoints, extract_orb
+from uslam_tpu.io.sequence import FeatureFrame
+
+
+def ransac_translation(
+    flow: jnp.ndarray,
+    mask: jnp.ndarray,
+    threshold: float = 3.0,
+    num_hypotheses: int = 64,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Vectorized RANSAC on 2-D flow vectors (K, 2) -> inlier mask (K,).
+
+    Hypotheses are individual flows (1-point translation model — what the
+    nodelet's rotation-compensated 2-pt RANSAC reduces to for mostly
+    rotation-free inter-frame motion); consensus within ``threshold`` px.
+    """
+    k = flow.shape[0]
+    key = jax.random.PRNGKey(seed)
+    # Sample hypothesis indices among (statically) all slots; masked slots
+    # produce hypotheses with zero support among valid flows.
+    idx = jax.random.randint(key, (num_hypotheses,), 0, k)
+    hyp = flow[idx]                                          # (H, 2)
+    hyp_valid = mask[idx]
+    d = jnp.linalg.norm(flow[None, :, :] - hyp[:, None, :], axis=-1)
+    inlier = (d <= threshold) & mask[None, :]
+    support = jnp.sum(inlier, axis=1) * hyp_valid
+    best = jnp.argmax(support)
+    ok = jnp.any(mask)
+    return jnp.where(ok, inlier[best] & mask, mask)
+
+
+class StereoFrontend:
+    """Stateful per-sequence wrapper around the stateless jit stages."""
+
+    def __init__(
+        self,
+        cam: CameraConfig = CameraConfig(),
+        cfg: FrontendConfig = FrontendConfig(),
+    ):
+        self.cam = cam
+        self.cfg = cfg
+        self._prev: Keypoints | None = None
+        self._prev_ids: np.ndarray | None = None
+        self._next_id = 0
+
+    def reset(self) -> None:
+        self._prev = None
+        self._prev_ids = None
+        self._next_id = 0
+
+    def process(self, left: np.ndarray, right: np.ndarray, t: float) -> FeatureFrame:
+        """One rectified grayscale stereo pair -> FeatureFrame (normalized
+        coords + persistent ids), mirroring the nodelet output topic."""
+        cfg = self.cfg
+        left = jnp.asarray(left, jnp.float32)
+        right = jnp.asarray(right, jnp.float32)
+
+        kp_l = extract_orb(left, cfg)
+        kp_r = extract_orb(right, cfg)
+        sm = stereo_match(
+            kp_l.desc, kp_l.xy, kp_l.mask,
+            kp_r.desc, kp_r.xy, kp_r.mask,
+            max_distance=cfg.match_max_distance,
+            ratio=cfg.match_ratio,
+            max_v_diff=cfg.stereo_max_v_diff,
+            min_disparity=cfg.stereo_min_disparity,
+        )
+
+        # Temporal association on the left image for persistent ids.
+        if self._prev is not None:
+            tm = match_descriptors(
+                kp_l.desc, kp_l.mask, self._prev.desc, self._prev.mask,
+                max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
+            )
+            flow = kp_l.xy - self._prev.xy[jnp.maximum(tm.idx, 0)]
+            inlier = ransac_translation(
+                flow, tm.mask, threshold=cfg.ransac_threshold_px
+            )
+            tm_idx = np.asarray(jnp.where(inlier, tm.idx, -1))
+        else:
+            tm_idx = np.full(int(kp_l.mask.shape[0]), -1, np.int64)
+
+        # Host-side id interning: tracked keypoints inherit the previous id,
+        # fresh stereo-matched keypoints get new ids.
+        k = int(kp_l.mask.shape[0])
+        ids = np.full(k, -1, np.int64)
+        stereo_ok = np.asarray(sm.mask)
+        for i in range(k):
+            if not stereo_ok[i]:
+                continue
+            j = int(tm_idx[i])
+            if j >= 0 and self._prev_ids is not None and self._prev_ids[j] >= 0:
+                ids[i] = self._prev_ids[j]
+            else:
+                ids[i] = self._next_id
+                self._next_id += 1
+
+        self._prev = kp_l
+        self._prev_ids = ids
+
+        # Output contract: normalized [-1, 1] coords (batch.py:152-154).
+        sel = ids >= 0
+        xy_l = np.asarray(kp_l.xy)[sel]
+        xy_r = np.asarray(kp_r.xy)[np.asarray(sm.idx)[sel]]
+        rx, ry = self.cam.resolution_x, self.cam.resolution_y
+        return FeatureFrame(
+            t=t,
+            ids=ids[sel],
+            u0=xy_l[:, 0] / (0.5 * rx) - 1.0,
+            v0=xy_l[:, 1] / (0.5 * ry) - 1.0,
+            u1=xy_r[:, 0] / (0.5 * rx) - 1.0,
+            v1=xy_r[:, 1] / (0.5 * ry) - 1.0,
+        )

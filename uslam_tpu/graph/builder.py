@@ -179,12 +179,21 @@ class GraphBuilder:
         dvl_mask = np.ones(n)
         dvl_mask[0] = 0.0
 
-        # --- Stereo observations (i >= 1, batch.py:295-305).
+        # --- Stereo observations (i >= 1, batch.py:295-305), capped at
+        # max_obs_per_landmark per landmark (Schur group budget; extra
+        # observations are dropped entirely so the flat factor set and the
+        # per-landmark groups stay consistent).
+        cap = self.config.solver.max_obs_per_landmark
         obs = []
+        per_lm_count: dict[int, int] = {}
         for i in range(1, n):
             if not with_landmarks:
                 break
             for lm_row, uL, uR, v, in self.features[i]:
+                c = per_lm_count.get(lm_row, 0)
+                if c >= cap:
+                    continue
+                per_lm_count[lm_row] = c + 1
                 obs.append((i, lm_row, uL, uR, v))
         m = len(self._lm_rows) if with_landmarks else 0
         f_real = len(obs)
@@ -198,8 +207,10 @@ class GraphBuilder:
             meas[k] = (uL, uR, v)
             s_mask[k] = 1.0
 
-        # Per-landmark obs grouping (for Schur elimination).
-        M = max(m, 1)
+        # Per-landmark obs grouping (for Schur elimination). The landmark
+        # axis is bucketed to a power of two: static shapes for jit AND even
+        # divisibility over power-of-two device meshes (parallel/mesh.py).
+        M = _bucket(max(m, 1))
         per_lm = [[] for _ in range(M)]
         for k in range(f_real):
             per_lm[lm_idx[k]].append(k)
@@ -207,7 +218,6 @@ class GraphBuilder:
         lm_obs_idx = np.zeros((M, K), np.int32)
         lm_obs_mask = np.zeros((M, K))
         for j, o in enumerate(per_lm):
-            o = o[:K]
             lm_obs_idx[j, : len(o)] = o
             lm_obs_mask[j, : len(o)] = 1.0
 

@@ -178,6 +178,9 @@ def sharded_lm_step(
             pose_quat=spec_rep, pose_trans=spec_rep, vel=spec_rep,
             bias=spec_rep, landmarks=spec_rep,
         ),
+        # Outputs are replicated by construction (all_gather + replicated
+        # solve); the varying-mesh-axes inference can't see that.
+        check_vma=False,
     )
     return step_sharded(
         graph_rep,
