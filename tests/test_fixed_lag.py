@@ -1,0 +1,85 @@
+"""Fixed-lag smoother vs batch solution (SURVEY.md §4 config 4)."""
+
+import numpy as np
+
+from uslam_tpu.config import UslamConfig
+from uslam_tpu.eval.metrics import ate_rmse
+from uslam_tpu.io.synthetic import SyntheticSpec, generate_synthetic_sequence
+from uslam_tpu.io.timesync import slice_stream
+from uslam_tpu.pipeline import AUVSlam
+from uslam_tpu.solvers.fixed_lag import FixedLagSmoother
+
+
+def feed(seq, cfg, consumer):
+    """Replay keyframes into `consumer(quat, pos, vel0, imu, dvl, feats)`."""
+    slam = AUVSlam(cfg)  # borrow landmark triangulation for feature init
+    prev_t = None
+    for i, t in enumerate(seq.dvl_pose_t):
+        sl = slice_stream(seq.imu_t, prev_t if prev_t is not None else -np.inf, float(t))
+        imu = None
+        if sl.stop > sl.start:
+            rows = []
+            for k in range(sl.start, sl.stop):
+                rows.append(
+                    np.concatenate([seq.imu_acc[k], seq.imu_gyro[k], [0.005]])
+                )
+            imu = np.stack(rows)
+        prev_t = float(t)
+        ff = seq.features[i]
+        feats = None
+        if len(ff.ids):
+            feats = slam.get_landmarks(
+                ff.ids, ff.u0, ff.v0, ff.u1, ff.v1,
+                seq.dvl_pose_quat[i], seq.dvl_pose_pos[i],
+            )
+        consumer(seq.dvl_pose_quat[i], seq.dvl_pose_pos[i], imu, seq.dvl_twist_vel[i], feats)
+
+
+def test_fixed_lag_tracks_batch():
+    cfg = UslamConfig()
+    spec = SyntheticSpec(duration=5.0, odom_drift_rate=0.03, num_landmarks=60, seed=2)
+    seq = generate_synthetic_sequence(spec)
+
+    # Batch reference via the public pipeline.
+    batch = AUVSlam(cfg)
+
+    def to_batch(quat, pos, imu, dvl, feats):
+        if imu is not None:
+            for row in imu:
+                batch.update_imu(row[:3], row[3:6], row[6])
+        ff_ids, u0, v0, u1, v1 = [], [], [], [], []
+        # re-encode features as normalized coords for batch_update
+        rx, ry = cfg.camera.resolution_x, cfg.camera.resolution_y
+        if feats:
+            for lm_id, uL, uR, v, _xyz in feats:
+                ff_ids.append(lm_id)
+                u0.append(uL / (0.5 * rx) - 1)
+                u1.append(uR / (0.5 * rx) - 1)
+                v0.append(v / (0.5 * ry) - 1)
+                v1.append(v / (0.5 * ry) - 1)
+        batch.batch_update(
+            quat, pos, dvl, pos[2], (np.array(ff_ids), np.array(u0), np.array(v0), np.array(u1), np.array(v1))
+        )
+
+    feed(seq, cfg, to_batch)
+    batch_result = batch.solve()
+
+    # Fixed-lag smoother.
+    fl = FixedLagSmoother(cfg, window=6, solve_during_fill=False)
+
+    def to_fl(quat, pos, imu, dvl, feats):
+        fl.add_keyframe(quat, pos, np.zeros(3), imu, dvl, feats)
+
+    feed(seq, cfg, to_fl)
+
+    traj_fl = fl.full_trajectory()
+    traj_batch = batch_result.trajectory
+    n = min(len(traj_fl), len(traj_batch))
+    assert n >= 20
+    diff = ate_rmse(traj_fl[:n], traj_batch[:n])
+    # Window solution should stay close to the full batch optimum.
+    assert diff < 0.08, diff
+
+    # And both should beat the drifted odometry against ground truth.
+    gt = seq.gt_pos[:n]
+    assert ate_rmse(traj_fl[:n], gt) < ate_rmse(np.asarray(seq.dvl_pose_pos[:n]), gt) * 1.2

@@ -38,6 +38,16 @@ class Priors(NamedTuple):
     vel_sigma: jnp.ndarray        # ()
     bias: jnp.ndarray             # (6,)
     bias_weight: jnp.ndarray      # () = 1/sigma; 0 disables the bias prior
+    # Dense marginal prior on [pose_0(6), vel_0(3), bias(6)] — produced by
+    # fixed-lag marginalization (solvers/fixed_lag.py). sqrt_info is the
+    # transposed Cholesky factor of the 15x15 marginal information;
+    # weight 0 disables (batch mode).
+    marg_sqrt_info: jnp.ndarray   # (15, 15)
+    marg_pose_quat: jnp.ndarray   # (4,) linearization point
+    marg_pose_trans: jnp.ndarray  # (3,)
+    marg_vel: jnp.ndarray         # (3,)
+    marg_bias: jnp.ndarray        # (6,)
+    marg_weight: jnp.ndarray      # ()
 
 
 class ImuIntervals(NamedTuple):
@@ -238,6 +248,12 @@ class GraphBuilder:
             vel_sigma=jnp.asarray(noise.prior_vel_sigma, dtype),
             bias=jnp.zeros(6, dtype),
             bias_weight=jnp.asarray(bias_weight, dtype),
+            marg_sqrt_info=jnp.zeros((15, 15), dtype),
+            marg_pose_quat=jnp.array([1.0, 0, 0, 0], dtype),
+            marg_pose_trans=jnp.zeros(3, dtype),
+            marg_vel=jnp.zeros(3, dtype),
+            marg_bias=jnp.zeros(6, dtype),
+            marg_weight=jnp.zeros((), dtype),
         )
 
         imu_data = ImuIntervalData(

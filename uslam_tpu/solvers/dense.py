@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM
+from uslam_tpu.graph.values import VEL_DIM as VEL_DIM_
 from uslam_tpu.solvers.linearize import Linearization
 
 
@@ -61,6 +62,20 @@ def assemble_dense(lin: Linearization, num_poses: int, num_landmarks: int):
     H, g = add_single(H, g, 0, POSE_DIM, lin.prior_pose_J, lin.prior_pose_r)
     H, g = add_single(H, g, POSE_DIM, 3, lin.prior_vel_J, lin.prior_vel_r)
     H, g = add_single(H, g, bias_off, BIAS_DIM, lin.prior_bias_J, lin.prior_bias_r)
+
+    # Dense marginal prior on [pose_0(6), vel_0(3), bias(6)] (fixed-lag).
+    Jm, rm = lin.marg_J, lin.marg_r
+    m_offs = (0, POSE_DIM, bias_off)
+    m_dims = (POSE_DIM, VEL_DIM_, BIAS_DIM)
+    col0 = (0, POSE_DIM, POSE_DIM + VEL_DIM_)
+    for a in range(3):
+        Ja = Jm[:, col0[a] : col0[a] + m_dims[a]]
+        g = g.at[m_offs[a] : m_offs[a] + m_dims[a]].add(-Ja.T @ rm)
+        for b in range(3):
+            Jb = Jm[:, col0[b] : col0[b] + m_dims[b]]
+            H = H.at[
+                m_offs[a] : m_offs[a] + m_dims[a], m_offs[b] : m_offs[b] + m_dims[b]
+            ].add(Ja.T @ Jb)
 
     # IMU: intervals k couple frames (k, k+1) + bias.
     k = jnp.arange(lin.imu_r.shape[0])

@@ -1,0 +1,218 @@
+"""Fixed-lag incremental smoother — the *working* replacement for the
+reference's ISAM2 pipeline (isam.py, documented as non-working at
+reference README.md:41; bugs cataloged in SURVEY.md §2.1).
+
+Instead of re-implementing ISAM2's incremental Bayes-tree updates (a
+pointer-heavy C++ design that maps poorly to XLA), this is a sliding-window
+smoother with dense marginalization — the standard TPU-friendly
+formulation:
+
+- a window of the last W keyframes is re-solved with the batch LM+Schur
+  machinery (one fixed-shape compiled program, reused every step);
+- when a keyframe leaves the window, the full dense window Hessian is
+  built, the departing frame's 9 dof are Schur-eliminated, and the
+  resulting marginal information on [new-oldest pose, vel, bias] becomes a
+  dense prior factor (Priors.marg_*) for subsequent windows.
+
+Approximations (documented, standard): marginal cross-couplings to frames
+other than the new-oldest are dropped (sparsification), and landmarks whose
+observations have all left the window are dropped rather than marginalized.
+Accuracy vs the full batch solution is tested in
+tests/test_fixed_lag.py (SURVEY.md §4 config 4).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uslam_tpu.config import UslamConfig
+from uslam_tpu.geometry.camera import StereoCamera
+from uslam_tpu.graph.builder import GraphBuilder
+from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, POSE_DIM, Values
+from uslam_tpu.pipeline import run_solver
+from uslam_tpu.solvers.dense import assemble_dense_with_landmarks
+from uslam_tpu.solvers.linearize import linearize_graph
+from uslam_tpu.utils.logging import get_logger
+
+log = get_logger("fixed_lag")
+
+
+@dataclass
+class _Keyframe:
+    quat: np.ndarray
+    trans: np.ndarray
+    vel: np.ndarray
+    imu: np.ndarray | None          # (S, 7)
+    dvl: np.ndarray
+    features: list | None           # [(id, uL, uR, v, init_xyz)]
+
+
+@dataclass
+class FixedLagSmoother:
+    """Sliding-window smoother with the reference ``isam.py`` usage shape:
+    feed measurements per keyframe, get an updated estimate back each step
+    (the working analog of isam.update + calculateEstimate,
+    reference isam.py:341-342)."""
+
+    config: UslamConfig
+    window: int = 10
+    # Solve while the window is still filling (reference isam.py updates on
+    # every keyframe). False skips those solves: each distinct window size
+    # is a separate XLA compilation, so filling without solving avoids
+    # window-1 compilations; the frames still get smoothed once the window
+    # is full, only the earliest *online* estimates are the raw odometry.
+    solve_during_fill: bool = True
+    _frames: deque = field(default_factory=deque)
+    _marg: dict | None = None
+    _trajectory: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.cam = StereoCamera.from_config(self.config.camera)
+
+    def add_keyframe(
+        self,
+        pose_quat,
+        pose_trans,
+        vel,
+        imu_samples,
+        dvl_vel,
+        features=None,
+    ) -> Values:
+        """Append one keyframe, solve the window, marginalize if full.
+
+        Returns the current window estimate (last entry = newest pose)."""
+        self._frames.append(
+            _Keyframe(
+                np.asarray(pose_quat, np.float64),
+                np.asarray(pose_trans, np.float64),
+                np.asarray(vel, np.float64),
+                None if imu_samples is None else np.asarray(imu_samples, np.float64),
+                np.zeros(3) if dvl_vel is None else np.asarray(dvl_vel, np.float64),
+                features,
+            )
+        )
+
+        if len(self._frames) <= self.window and not self.solve_during_fill:
+            b = GraphBuilder(self.config)
+            for i, fr in enumerate(self._frames):
+                b.add_keyframe(fr.quat, fr.trans, None, fr.dvl, None, vel_init=fr.vel)
+            _, initial = b.finalize(with_landmarks=False)
+            return initial
+
+        graph, initial = self._window_graph()
+        values, stats = run_solver(
+            graph, initial, self.cam,
+            self.config.noise.dvl_sigma, self.config.noise.stereo_sigma,
+            self.config.imu.gravity, self.config.solver,
+        )
+        # Write the refined estimates back into the window keyframes so the
+        # next window linearizes at the smoothed state.
+        pq = np.asarray(values.pose_quat)
+        pt = np.asarray(values.pose_trans)
+        vv = np.asarray(values.vel)
+        for i, fr in enumerate(self._frames):
+            fr.quat, fr.trans, fr.vel = pq[i], pt[i], vv[i]
+
+        if len(self._frames) > self.window:
+            self._marginalize(graph, values)
+            oldest = self._frames.popleft()
+            self._trajectory.append(
+                np.concatenate([oldest.quat, oldest.trans, oldest.vel])
+            )
+        return values
+
+    # ------------------------------------------------------------------
+
+    def _window_graph(self):
+        """Build GraphArrays for the current window, injecting the marginal
+        prior if one exists."""
+        b = GraphBuilder(self.config)
+        for i, fr in enumerate(self._frames):
+            b.add_keyframe(
+                fr.quat, fr.trans,
+                fr.imu if i > 0 else None,   # interval belongs to arrival
+                fr.dvl, fr.features, vel_init=fr.vel,
+            )
+        graph, initial = b.finalize()
+        if self._marg is not None:
+            m = self._marg
+            graph = graph._replace(
+                priors=graph.priors._replace(
+                    marg_sqrt_info=jnp.asarray(m["sqrt_info"], jnp.float32),
+                    marg_pose_quat=jnp.asarray(m["pose_quat"], jnp.float32),
+                    marg_pose_trans=jnp.asarray(m["pose_trans"], jnp.float32),
+                    marg_vel=jnp.asarray(m["vel"], jnp.float32),
+                    marg_bias=jnp.asarray(m["bias"], jnp.float32),
+                    marg_weight=jnp.asarray(1.0, jnp.float32),
+                    # The explicit first-pose/vel priors only apply to the
+                    # very first window (reference adds them at t=0 only,
+                    # isam.py:316-319); afterwards the marginal carries them.
+                    pose_sigmas=jnp.asarray(
+                        np.full(6, 1e6), jnp.float32
+                    ),
+                    vel_sigma=jnp.asarray(1e6, jnp.float32),
+                )
+            )
+        return graph, initial
+
+    def _marginalize(self, graph, values: Values) -> None:
+        """Schur-eliminate the departing frame from the dense window Hessian
+        and store the marginal on [new-oldest pose, vel, bias]."""
+        cfg = self.config
+        lin = linearize_graph(
+            graph, values, self.cam,
+            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+        )
+        H, gvec = assemble_dense_with_landmarks(
+            lin, graph.stereo.cam_idx, graph.stereo.lm_idx,
+            values.num_poses, values.num_landmarks,
+        )
+        H = np.asarray(H, np.float64)
+        n = values.num_poses
+        bias_off = FRAME_DIM * n
+
+        # Eliminate frame 0 (9 dof).
+        a = slice(0, FRAME_DIM)
+        H00 = H[a, a] + 1e-9 * np.eye(FRAME_DIM)
+        Hr0 = np.delete(H[:, a], np.arange(FRAME_DIM), axis=0)
+        Hrr = np.delete(np.delete(H, np.arange(FRAME_DIM), 0), np.arange(FRAME_DIM), 1)
+        H_marg = Hrr - Hr0 @ np.linalg.solve(H00, Hr0.T)
+
+        # Select the block for [new frame 0 (9), bias (6)] (indices shifted
+        # down by the eliminated 9).
+        idx = np.concatenate(
+            [np.arange(0, FRAME_DIM), np.arange(bias_off - FRAME_DIM, bias_off - FRAME_DIM + BIAS_DIM)]
+        )
+        Lam = H_marg[np.ix_(idx, idx)]
+        # PSD-project (sparsification can leave tiny negative eigs).
+        w, V = np.linalg.eigh((Lam + Lam.T) / 2.0)
+        w = np.clip(w, 0.0, None)
+        sqrt_info = (V * np.sqrt(w)).T        # rows scaled: sqrt_info^T sqrt_info = Lam
+
+        self._marg = {
+            "sqrt_info": sqrt_info,
+            "pose_quat": np.asarray(values.pose_quat[1]),
+            "pose_trans": np.asarray(values.pose_trans[1]),
+            "vel": np.asarray(values.vel[1]),
+            "bias": np.asarray(values.bias),
+        }
+
+    # ------------------------------------------------------------------
+
+    @property
+    def trajectory(self) -> np.ndarray:
+        """Marginalized (finalized) poses so far: (T, 10) [quat, trans, vel]."""
+        if not self._trajectory:
+            return np.zeros((0, 10))
+        return np.stack(self._trajectory)
+
+    def full_trajectory(self) -> np.ndarray:
+        """Finalized + current-window translations (T_total, 3)."""
+        done = self.trajectory[:, 4:7] if len(self._trajectory) else np.zeros((0, 3))
+        cur = np.stack([f.trans for f in self._frames]) if self._frames else np.zeros((0, 3))
+        return np.concatenate([done, cur], axis=0)

@@ -28,7 +28,7 @@ from uslam_tpu.factors.priors import (
 )
 from uslam_tpu.factors.stereo import stereo_residual
 from uslam_tpu.geometry.camera import StereoCamera
-from uslam_tpu.geometry.se3 import Pose3, pose_retract
+from uslam_tpu.geometry.se3 import Pose3, pose_local, pose_retract
 from uslam_tpu.graph.builder import GraphArrays
 from uslam_tpu.graph.values import Values
 
@@ -45,6 +45,8 @@ class Linearization(NamedTuple):
     prior_vel_J: jnp.ndarray    # (3, 3)
     prior_bias_r: jnp.ndarray   # (6,)
     prior_bias_J: jnp.ndarray   # (6, 6)
+    marg_r: jnp.ndarray         # (15,) dense marginal prior (fixed-lag)
+    marg_J: jnp.ndarray         # (15, 15) wrt [pose_0, vel_0, bias]
     imu_r: jnp.ndarray          # (N-1, 9)
     imu_J_pose_i: jnp.ndarray   # (N-1, 9, 6)
     imu_J_vel_i: jnp.ndarray    # (N-1, 9, 3)
@@ -64,6 +66,7 @@ class Linearization(NamedTuple):
             jnp.sum(self.prior_pose_r**2)
             + jnp.sum(self.prior_vel_r**2)
             + jnp.sum(self.prior_bias_r**2)
+            + jnp.sum(self.marg_r**2)
             + jnp.sum(self.imu_r**2)
             + jnp.sum(self.dvl_r**2)
             + jnp.sum(self.stereo_r**2)
@@ -109,6 +112,22 @@ def linearize_graph(
 
     prior_bias_r, prior_bias_J = _lin(f_prior_bias, 6)
 
+    def f_marg(d):
+        # Dense marginal prior from fixed-lag marginalization: whitened
+        # tangent deviation of [pose_0, vel_0, bias] from the stored
+        # linearization point.
+        pose0 = pose_retract(values.pose(0), d[:6])
+        dev = jnp.concatenate(
+            [
+                pose_local(Pose3(p.marg_pose_quat, p.marg_pose_trans), pose0),
+                values.vel[0] + d[6:9] - p.marg_vel,
+                values.bias + d[9:15] - p.marg_bias,
+            ]
+        )
+        return p.marg_weight * (p.marg_sqrt_info @ dev)
+
+    marg_r, marg_J = _lin(f_marg, 15)
+
     # ---- IMU (one vmapped linearization over intervals) ------------------
     def f_imu(d, pose_i, vel_i, pose_j, vel_j, data, whitener):
         xi_i, dv_i, xi_j, dv_j, db = (
@@ -130,14 +149,19 @@ def linearize_graph(
         r0, J = _lin(fn, 24)
         return r0 * mask, J * mask
 
+    # Interval k couples frames (k, k+1); the builder pads to >=1 interval
+    # even for a single-pose graph (mask 0), so index with clamping.
     n = values.num_poses
-    pose_i = Pose3(values.pose_quat[: n - 1], values.pose_trans[: n - 1])
-    pose_j = Pose3(values.pose_quat[1:], values.pose_trans[1:])
+    n_int = graph.imu.mask.shape[0]
+    ki = jnp.minimum(jnp.arange(n_int), n - 1)
+    kj = jnp.minimum(jnp.arange(n_int) + 1, n - 1)
+    pose_i = Pose3(values.pose_quat[ki], values.pose_trans[ki])
+    pose_j = Pose3(values.pose_quat[kj], values.pose_trans[kj])
     imu_r, imu_J = jax.vmap(lin_imu)(
         pose_i,
-        values.vel[: n - 1],
+        values.vel[ki],
         pose_j,
-        values.vel[1:],
+        values.vel[kj],
         graph.imu.data,
         graph.imu.whitener,
         graph.imu.mask,
@@ -187,6 +211,8 @@ def linearize_graph(
         prior_vel_J=prior_vel_J,
         prior_bias_r=prior_bias_r,
         prior_bias_J=prior_bias_J,
+        marg_r=marg_r,
+        marg_J=marg_J,
         imu_r=imu_r,
         imu_J_pose_i=imu_J_pose_i,
         imu_J_vel_i=imu_J_vel_i,
@@ -225,8 +251,11 @@ def graph_error(
     e += 0.5 * jnp.sum((p.bias_weight * (values.bias - p.bias)) ** 2)
 
     n = values.num_poses
-    pose_i = Pose3(values.pose_quat[: n - 1], values.pose_trans[: n - 1])
-    pose_j = Pose3(values.pose_quat[1:], values.pose_trans[1:])
+    n_int = graph.imu.mask.shape[0]
+    ki = jnp.minimum(jnp.arange(n_int), n - 1)
+    kj = jnp.minimum(jnp.arange(n_int) + 1, n - 1)
+    pose_i = Pose3(values.pose_quat[ki], values.pose_trans[ki])
+    pose_j = Pose3(values.pose_quat[kj], values.pose_trans[kj])
 
     def one_imu(pi, vi, pj, vj, data, whitener, mask):
         r = imu_residual(pi, vi, pj, vj, values.bias, data, gravity, whitener)
@@ -235,9 +264,9 @@ def graph_error(
     e += 0.5 * jnp.sum(
         jax.vmap(one_imu)(
             pose_i,
-            values.vel[: n - 1],
+            values.vel[ki],
             pose_j,
-            values.vel[1:],
+            values.vel[kj],
             graph.imu.data,
             graph.imu.whitener,
             graph.imu.mask,
