@@ -91,6 +91,54 @@ def _pose_at(spec: SyntheticSpec, t: np.ndarray):
     return {"pos": pos, "R": R, "vel": vel, "acc": acc, "omega_body": om_b}
 
 
+def _render_stereo_images(
+    spec: SyntheticSpec,
+    cam: CameraConfig,
+    kf: dict,
+    landmarks: np.ndarray,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render simple rectified stereo pairs: each landmark is a small
+    high-contrast square (a corner factory the FAST detector finds and
+    rBRIEF can re-identify across frames) on a low-contrast noise floor.
+
+    Not photorealistic — it exists so the full images -> ORB front-end ->
+    solver path can be tested end-to-end with known geometry
+    (SURVEY.md §4 config 5).
+    """
+    h, w = cam.resolution_y, cam.resolution_x
+    T = len(kf["pos"])
+    base = rng.uniform(40, 60, (h, w)).astype(np.float32)   # sub-threshold noise
+    # Per-landmark stable appearance: a random 9x9 pattern, bright on dark.
+    n_lm = len(landmarks)
+    pats = rng.uniform(120, 255, (n_lm, 9, 9)).astype(np.float32)
+    pats[:, 2:7, 2:7] = rng.uniform(0, 40, (n_lm, 5, 5))     # inner contrast
+
+    left = np.zeros((T, h, w), np.float32)
+    right = np.zeros((T, h, w), np.float32)
+    fx, fy, cx, cy, b = cam.fx, cam.fy, cam.cx, cam.cy, cam.baseline
+    for t in range(T):
+        Rwb, p = kf["R"][t], kf["pos"][t]
+        p_cam = (landmarks - p) @ Rwb
+        z = p_cam[:, 2]
+        il = base.copy()
+        ir = base.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uL = fx * p_cam[:, 0] / z + cx
+            uR = fx * (p_cam[:, 0] - b) / z + cx
+            v = fy * p_cam[:, 1] / z + cy
+        for j in range(n_lm):
+            if not (spec.min_feature_depth < z[j] < spec.max_feature_depth):
+                continue
+            for img, u in ((il, uL[j]), (ir, uR[j])):
+                yi, xi = int(round(v[j])) - 4, int(round(u)) - 4
+                if 0 <= yi and yi + 9 <= h and 0 <= xi and xi + 9 <= w:
+                    img[yi : yi + 9, xi : xi + 9] = pats[j]
+        left[t] = il
+        right[t] = ir
+    return left, right
+
+
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:
     """(T,3,3) -> (T,4) wxyz, numpy/f64 (host-side)."""
     from scipy.spatial.transform import Rotation
@@ -104,6 +152,8 @@ def generate_synthetic_sequence(
     spec: SyntheticSpec = SyntheticSpec(),
     cam_cfg: CameraConfig = CameraConfig(),
     pressure_cfg: PressureConfig = PressureConfig(),
+    render_images: bool = False,
+    omit_features: bool = False,
 ) -> SensorSequence:
     rng = np.random.default_rng(spec.seed)
     g_world = np.array([0.0, 0.0, -spec.gravity])
@@ -187,7 +237,34 @@ def generate_synthetic_sequence(
             )
         )
 
+    images = None
+    image_t = None
+    if render_images:
+        images = _render_stereo_images(spec, cam_cfg, kf, landmarks, rng)
+        image_t = kf_t.copy()
+
     vel_kf = kf["vel"]
+    if render_images:
+        return SensorSequence(
+            imu_t=imu_t,
+            imu_acc=acc_meas,
+            imu_gyro=gyro_meas,
+            pressure_t=kf_t.copy(),
+            pressure_mbar=press_mbar,
+            dvl_pose_t=kf_t.copy(),
+            dvl_pose_quat=kf_quat,
+            dvl_pose_pos=dvl_pos,
+            dvl_twist_t=kf_t.copy(),
+            dvl_twist_vel=dvl_twist,
+            features=[] if omit_features else features,
+            image_t=image_t,
+            images_left=images[0],
+            images_right=images[1],
+            gt_t=kf_t.copy(),
+            gt_quat=kf_quat,
+            gt_pos=kf["pos"],
+            gt_vel=vel_kf,
+        )
     return SensorSequence(
         imu_t=imu_t,
         imu_acc=acc_meas,

@@ -258,6 +258,25 @@ def run_sequence(
     """
     slam = AUVSlam(config)
 
+    # No precomputed feature stream but raw imagery present: run the ORB
+    # front-end (the in-framework replacement for the nodelet features the
+    # reference consumes pre-extracted, SURVEY.md C18).
+    if not seq.features and seq.images_left is not None:
+        from uslam_tpu.frontend.tracker import StereoFrontend
+
+        fe = StereoFrontend(config.camera, config.frontend)
+        t0 = time.perf_counter()
+        seq.features = [
+            fe.process(seq.images_left[i], seq.images_right[i], float(seq.image_t[i]))
+            for i in range(len(seq.image_t))
+        ]
+        log.info(
+            "frontend: %d stereo frames in %.2fs (%.1f fps)",
+            len(seq.features),
+            time.perf_counter() - t0,
+            len(seq.features) / max(time.perf_counter() - t0, 1e-9),
+        )
+
     feat_t = np.array([f.t for f in seq.features]) if seq.features else np.zeros(0)
     streams = [seq.dvl_twist_t] + ([feat_t] if len(feat_t) else [])
     triples = approximate_time_join(seq.dvl_pose_t, streams, config.timesync.slop)
