@@ -150,6 +150,11 @@ class TimeSyncConfig:
 
     slop: float = 0.2
     queue_size: int = 10
+    # Keyframe pose source — the role of the reference's tf_fix.py node
+    # (rebroadcast DVL dead-reckoned pose as world->base_link instead of the
+    # bad ZED odometry, tf_fix.py:22-41) reduced to a config choice
+    # (SURVEY.md C3): 'dvl' (default) or 'gt' (synthetic debugging).
+    pose_source: str = "dvl"
 
 
 @dataclass(frozen=True)

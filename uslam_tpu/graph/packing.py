@@ -1,0 +1,270 @@
+"""Vectorized sequence -> GraphArrays packing.
+
+The object-style GraphBuilder (append one keyframe at a time, mirroring the
+reference's callback accumulation, batch.py:253-267) costs O(total IMU
+samples) Python-loop time — ~9 minutes for a 1000-pose / 200 Hz sequence on
+one host core. This module packs the same arrays with numpy vectorization
+(searchsorted interval slicing, one vmapped triangulation for every feature
+in the sequence, argsort-based landmark grouping) in well under a second.
+
+``pack_sequence`` is the production ingestion path used by
+``pipeline.run_sequence``; equivalence with GraphBuilder is tested in
+tests/test_packing.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uslam_tpu.config import UslamConfig
+from uslam_tpu.factors.depth import pressure_to_depth
+from uslam_tpu.factors.imu import ImuIntervalData
+from uslam_tpu.geometry.camera import StereoCamera, triangulate_stereo
+from uslam_tpu.geometry.se3 import Pose3
+from uslam_tpu.graph.builder import (
+    DvlMeasurements,
+    GraphArrays,
+    ImuIntervals,
+    Priors,
+    StereoObservations,
+    _bucket,
+    _compute_imu_whiteners,
+)
+from uslam_tpu.graph.values import Values
+from uslam_tpu.io.sequence import SensorSequence
+from uslam_tpu.io.timesync import approximate_time_join
+
+
+def _rank_within_group(keys: np.ndarray) -> np.ndarray:
+    """Occurrence rank of each element within its key group, preserving
+    original order (ranks[i] = #earlier elements with the same key)."""
+    o = np.argsort(keys, kind="stable")
+    sk = keys[o]
+    is_new = np.r_[True, sk[1:] != sk[:-1]]
+    grp_first = np.maximum.accumulate(np.where(is_new, np.arange(len(sk)), 0))
+    ranks = np.empty(len(keys), int)
+    ranks[o] = np.arange(len(sk)) - grp_first
+    return ranks
+
+
+def pack_sequence(
+    seq: SensorSequence,
+    config: UslamConfig,
+    with_landmarks: bool = True,
+    dtype=jnp.float32,
+):
+    """Time-join the streams and pack the full factor graph.
+
+    Returns (graph, initial_values, odom_compare, landmark_id_rows).
+    Semantics match the reference data path: keyframes are the synchronized
+    (odom, dvl, features) triples (batch.py:325), keyframe z is replaced by
+    the latest pressure depth (batch.py:133), velocities init to zero
+    (batch.py:279), landmarks init from the first observation triangulated
+    at the keyframe pose estimate.
+    """
+    cfg = config
+    feat_t = np.array([f.t for f in seq.features]) if seq.features else np.zeros(0)
+    streams = [seq.dvl_twist_t] + ([feat_t] if len(feat_t) else [])
+    triples = approximate_time_join(seq.dvl_pose_t, streams, cfg.timesync.slop)
+
+    # Latest pressure at or before each keyframe; drop keyframes before the
+    # first pressure message (reference batch.py:54 drop semantics).
+    kf, dvl_i, ff_i = [], [], []
+    for pivot_i, picks in triples:
+        t = float(seq.dvl_pose_t[pivot_i])
+        pi = int(np.searchsorted(seq.pressure_t, t, side="right")) - 1
+        if pi < 0:
+            continue
+        kf.append((pivot_i, pi))
+        dvl_i.append(picks[0])
+        ff_i.append(picks[1] if len(picks) > 1 else -1)
+    if not kf:
+        raise ValueError("no usable keyframes after time sync")
+    kf_pose_i = np.array([a for a, _ in kf])
+    kf_press_i = np.array([b for _, b in kf])
+    n = len(kf_pose_i)
+
+    kf_t = seq.dvl_pose_t[kf_pose_i].astype(np.float64)
+    if cfg.timesync.pose_source == "gt" and seq.gt_quat is not None:
+        # Synthetic-debug pose source (SURVEY.md C3 pose-source selection).
+        quats = seq.gt_quat[kf_pose_i].astype(np.float64)
+        odom_compare = seq.gt_pos[kf_pose_i].astype(np.float64)
+    else:
+        quats = seq.dvl_pose_quat[kf_pose_i].astype(np.float64)
+        odom_compare = seq.dvl_pose_pos[kf_pose_i].astype(np.float64)
+    depth = np.asarray(
+        pressure_to_depth(seq.pressure_mbar[kf_press_i], cfg.pressure)
+    )
+    trans = odom_compare.copy()
+    trans[:, 2] = depth
+
+    # --- IMU intervals (vectorized slicing + padding) --------------------
+    S = cfg.imu.max_samples_per_keyframe
+    lo = np.searchsorted(seq.imu_t, np.concatenate([[-np.inf], kf_t[:-1]]), side="left")
+    hi = np.searchsorted(seq.imu_t, kf_t, side="left")
+    # interval i (between kf i and i+1) uses samples in [kf_t[i], kf_t[i+1]).
+    lo_int, hi_int = hi[:-1], hi[1:]
+    counts = np.minimum(hi_int - lo_int, S)
+    n_int = max(n - 1, 1)
+    idx = lo_int[:, None] + np.arange(S)[None, :] if n > 1 else np.zeros((1, S), int)
+    idx = np.clip(idx, 0, max(len(seq.imu_t) - 1, 0))
+    sample_mask = (np.arange(S)[None, :] < counts[:, None]) if n > 1 else np.zeros((1, S), bool)
+    acc = np.where(sample_mask[..., None], seq.imu_acc[idx], 0.0)
+    gyro = np.where(sample_mask[..., None], seq.imu_gyro[idx], 0.0)
+    dts = np.where(sample_mask, cfg.imu.default_dt, 0.0)
+    imu_mask = (counts > 0).astype(np.float64) if n > 1 else np.zeros(1)
+
+    # --- DVL -------------------------------------------------------------
+    dvl = seq.dvl_twist_vel[np.array(dvl_i)].astype(np.float64)
+    dvl_mask = np.ones(n)
+    dvl_mask[0] = 0.0
+
+    # --- stereo features -------------------------------------------------
+    cam = StereoCamera.from_config(cfg.camera, dtype)
+    rx, ry = cfg.camera.resolution_x, cfg.camera.resolution_y
+    frames, ids_all, uL_all, uR_all, v_all = [], [], [], [], []
+    if with_landmarks and len(feat_t):
+        for i in range(n):
+            fi = ff_i[i]
+            if fi < 0:
+                continue
+            ff = seq.features[fi]
+            k = len(ff.ids)
+            if k == 0:
+                continue
+            frames.append(np.full(k, i))
+            ids_all.append(np.asarray(ff.ids))
+            uL_all.append((ff.u0 + 1.0) * 0.5 * rx)
+            uR_all.append((ff.u1 + 1.0) * 0.5 * rx)
+            v_all.append(((ff.v0 + ff.v1) / 2.0 + 1.0) * 0.5 * ry)
+    if frames:
+        frame_idx = np.concatenate(frames)
+        ids = np.concatenate(ids_all)
+        uL = np.concatenate(uL_all)
+        uR = np.concatenate(uR_all)
+        vv = np.concatenate(v_all)
+    else:
+        frame_idx = np.zeros(0, int)
+        ids = np.zeros(0, int)
+        uL = uR = vv = np.zeros(0)
+
+    # Intern ids -> dense rows in first-appearance order (GraphBuilder
+    # parity) and record the first observation of each id.
+    uniq, first_pos = np.unique(ids, return_index=True)
+    order = np.argsort(first_pos, kind="stable")
+    uniq = uniq[order]
+    first_pos = first_pos[order]
+    row_of = {int(u): r for r, u in enumerate(uniq)}
+    lm_rows = np.array([row_of[int(i)] for i in ids], int) if len(ids) else np.zeros(0, int)
+    m = len(uniq)
+
+    # Landmark init: triangulate the FIRST observation at its keyframe pose.
+    if m:
+        f0 = first_pos
+        meas0 = jnp.asarray(np.stack([uL[f0], uR[f0], vv[f0]], -1), dtype)
+        pose0 = Pose3(
+            jnp.asarray(quats[frame_idx[f0]], dtype),
+            jnp.asarray(trans[frame_idx[f0]], dtype),
+        )
+        lm_init = np.asarray(
+            jax.vmap(lambda q, t, mm: triangulate_stereo(cam, Pose3(q, t), mm))(
+                pose0.quat, pose0.trans, meas0
+            ),
+            np.float64,
+        )
+    else:
+        lm_init = np.zeros((0, 3))
+
+    # Drop frame-0 observations (reference adds stereo factors for i >= 1
+    # only, batch.py:295) and apply the per-landmark observation cap in
+    # observation order.
+    keep = frame_idx >= 1
+    frame_k, lm_k = frame_idx[keep], lm_rows[keep]
+    uL_k, uR_k, v_k = uL[keep], uR[keep], vv[keep]
+    cap = cfg.solver.max_obs_per_landmark
+    if len(lm_k):
+        capped = _rank_within_group(lm_k) < cap
+        frame_k, lm_k = frame_k[capped], lm_k[capped]
+        uL_k, uR_k, v_k = uL_k[capped], uR_k[capped], v_k[capped]
+
+    f_real = len(frame_k)
+    F = _bucket(max(f_real, 1))
+    cam_idx = np.zeros(F, np.int32)
+    lm_idx = np.zeros(F, np.int32)
+    meas = np.zeros((F, 3))
+    s_mask = np.zeros(F)
+    cam_idx[:f_real] = frame_k
+    lm_idx[:f_real] = lm_k
+    meas[:f_real] = np.stack([uL_k, uR_k, v_k], -1) if f_real else 0.0
+    s_mask[:f_real] = 1.0
+
+    # Per-landmark groups via argsort.
+    M = _bucket(max(m, 1))
+    if f_real:
+        rank = _rank_within_group(lm_k)
+        K = _bucket(max(int(rank.max()) + 1, 1), minimum=2)
+        lm_obs_idx = np.zeros((M, K), np.int32)
+        lm_obs_mask = np.zeros((M, K))
+        obs = np.arange(f_real)
+        lm_obs_idx[lm_k, rank] = obs
+        lm_obs_mask[lm_k, rank] = 1.0
+    else:
+        K = 2
+        lm_obs_idx = np.zeros((M, K), np.int32)
+        lm_obs_mask = np.zeros((M, K))
+
+    landmarks = np.zeros((M, 3))
+    if m:
+        landmarks[:m] = lm_init
+
+    # --- assemble pytrees -------------------------------------------------
+    noise = cfg.noise
+    bias_weight = 0.0 if noise.prior_bias_sigma is None else 1.0 / noise.prior_bias_sigma
+    priors = Priors(
+        pose_quat=jnp.asarray(quats[0], dtype),
+        pose_trans=jnp.asarray(trans[0], dtype),
+        pose_sigmas=jnp.asarray(noise.prior_pose_sigmas, dtype),
+        vel=jnp.zeros(3, dtype),
+        vel_sigma=jnp.asarray(noise.prior_vel_sigma, dtype),
+        bias=jnp.zeros(6, dtype),
+        bias_weight=jnp.asarray(bias_weight, dtype),
+        marg_sqrt_info=jnp.zeros((15, 15), dtype),
+        marg_pose_quat=jnp.array([1.0, 0, 0, 0], dtype),
+        marg_pose_trans=jnp.zeros(3, dtype),
+        marg_vel=jnp.zeros(3, dtype),
+        marg_bias=jnp.zeros(6, dtype),
+        marg_weight=jnp.zeros((), dtype),
+    )
+    imu_data = ImuIntervalData(
+        acc=jnp.asarray(acc, dtype),
+        gyro=jnp.asarray(gyro, dtype),
+        dt=jnp.asarray(dts, dtype),
+    )
+    imu = ImuIntervals(
+        data=imu_data,
+        whitener=_compute_imu_whiteners(imu_data, cfg),
+        mask=jnp.asarray(imu_mask, dtype),
+    )
+    graph = GraphArrays(
+        priors=priors,
+        imu=imu,
+        dvl=DvlMeasurements(jnp.asarray(dvl, dtype), jnp.asarray(dvl_mask, dtype)),
+        stereo=StereoObservations(
+            cam_idx=jnp.asarray(cam_idx),
+            lm_idx=jnp.asarray(lm_idx),
+            meas=jnp.asarray(meas, dtype),
+            mask=jnp.asarray(s_mask, dtype),
+            lm_obs_idx=jnp.asarray(lm_obs_idx),
+            lm_obs_mask=jnp.asarray(lm_obs_mask, dtype),
+        ),
+    )
+    values = Values(
+        pose_quat=jnp.asarray(quats, dtype),
+        pose_trans=jnp.asarray(trans, dtype),
+        vel=jnp.zeros((n, 3), dtype),
+        bias=jnp.zeros(6, dtype),
+        landmarks=jnp.asarray(landmarks, dtype),
+    )
+    return graph, values, odom_compare, row_of

@@ -250,11 +250,16 @@ def run_sequence(
     seq: SensorSequence,
     config: UslamConfig = DEFAULT_CONFIG,
     with_landmarks: bool = True,
+    fast_ingest: bool = True,
 ) -> SlamResult:
     """Offline end-to-end driver: replaces the reference ``__main__`` loop
     (batch.py:309-343) — replay the sequence through time sync, accumulate
     keyframes, then solve once at the end (the rosbag-exit trigger becomes
     simply reaching EOF; SURVEY.md C13).
+
+    ``fast_ingest`` uses the vectorized packer (graph/packing.py); False
+    replays through the reference-shaped per-keyframe API (slow, kept for
+    parity testing).
     """
     slam = AUVSlam(config)
 
@@ -276,6 +281,26 @@ def run_sequence(
             time.perf_counter() - t0,
             len(seq.features) / max(time.perf_counter() - t0, 1e-9),
         )
+
+    if fast_ingest:
+        from uslam_tpu.graph.packing import pack_sequence
+
+        t0 = time.perf_counter()
+        graph, initial, odom_compare, _rows = pack_sequence(
+            seq, config, with_landmarks=with_landmarks
+        )
+        log.info(
+            "ingest: %d keyframes, %d landmarks packed in %.2fs",
+            initial.num_poses, initial.num_landmarks, time.perf_counter() - t0,
+        )
+        slam._graph_cache = (graph, initial)
+        slam.odom_compare = list(odom_compare)
+        result = slam.solve(with_landmark=with_landmarks)
+        if seq.gt_pos is not None and len(seq.gt_pos) >= len(result.trajectory):
+            result.metrics["ate_rmse_vs_gt"] = ate_rmse(
+                result.trajectory, seq.gt_pos[: len(result.trajectory)]
+            )
+        return result
 
     feat_t = np.array([f.t for f in seq.features]) if seq.features else np.zeros(0)
     streams = [seq.dvl_twist_t] + ([feat_t] if len(feat_t) else [])

@@ -31,6 +31,7 @@ from uslam_tpu.solvers.schur import solve_schur
 
 class LMState(NamedTuple):
     values: Values
+    lin: object            # Linearization at `values` (reused on reject)
     error: jnp.ndarray
     lam: jnp.ndarray
     iterations: jnp.ndarray
@@ -96,8 +97,10 @@ def optimize_lm(
         return solve_dense_gn(H, g, lam)
 
     def step(state: LMState) -> LMState:
-        lin = lin_fn(values=state.values)
-        delta = solve(lin, state.lam)
+        # GTSAM inner-loop semantics: a rejected step re-solves at a larger
+        # lambda with the SAME linearization (carried in the state); only an
+        # accepted step re-linearizes.
+        delta = solve(state.lin, state.lam)
         candidate = values_retract(state.values, delta)
         new_error = err_fn(values=candidate)
         # Guard NaN/Inf (divergence detection — SURVEY.md §5 failure handling).
@@ -106,6 +109,10 @@ def optimize_lm(
 
         values = jax.tree.map(
             lambda new, old: jnp.where(accept, new, old), candidate, state.values
+        )
+        # lax.cond executes one branch: rejects skip the re-linearization.
+        lin = jax.lax.cond(
+            accept, lambda: lin_fn(values=values), lambda: state.lin
         )
         error = jnp.where(accept, new_error, state.error)
         lam = jnp.where(
@@ -123,7 +130,7 @@ def optimize_lm(
         )
         # Lambda blow-up => stuck; stop.
         converged = converged | (lam > cfg.lambda_upper_bound)
-        return LMState(values, error, lam, state.iterations + 1, converged)
+        return LMState(values, lin, error, lam, state.iterations + 1, converged)
 
     def cond(state: LMState):
         return (state.iterations < cfg.max_iterations) & (~state.converged)
@@ -131,6 +138,7 @@ def optimize_lm(
     init_error = err_fn(values=initial)
     state0 = LMState(
         values=initial,
+        lin=lin_fn(values=initial),
         error=init_error,
         lam=jnp.asarray(cfg.lambda_initial, init_error.dtype),
         iterations=jnp.asarray(0),
