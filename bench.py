@@ -33,6 +33,15 @@ def main() -> None:
 
     import jax
 
+    # Persistent compilation cache: the LM program compile (~minutes through
+    # this environment's TPU tunnel) amortizes across bench runs.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/uslam_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     log(f"bench: platform={jax.default_backend()} devices={jax.devices()}")
 
     from uslam_tpu.config import SolverConfig, UslamConfig

@@ -261,7 +261,7 @@ class GraphBuilder:
             gyro=jnp.asarray(gyro, dtype),
             dt=jnp.asarray(dts, dtype),
         )
-        whitener = _compute_imu_whiteners(imu_data, cfg)
+        whitener = jnp.asarray(_compute_imu_whiteners(imu_data, cfg), dtype)
         imu = ImuIntervals(
             data=imu_data,
             whitener=whitener,
@@ -296,9 +296,12 @@ class GraphBuilder:
 def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> jnp.ndarray:
     """Preintegration covariance at zero bias -> whitening, vmapped over
     intervals. Fixed at linearization like GTSAM's
-    PreintegratedImuMeasurements (reference batch.py:289-293)."""
+    PreintegratedImuMeasurements (reference batch.py:289-293).
 
-    @jax.jit
+    Always computed on the CPU backend: it is a one-off tiny computation and
+    compiling the covariance scan for the TPU (through this environment's
+    high-latency tunnel) costs minutes for zero benefit."""
+
     def run(d):
         def one(interval):
             _, P = preintegrate_with_cov(
@@ -312,4 +315,7 @@ def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> jnp.ndarr
 
         return jax.vmap(one)(d)
 
-    return run(data)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        d_cpu = jax.device_put(data, cpu)
+        return np.asarray(jax.jit(run)(d_cpu))

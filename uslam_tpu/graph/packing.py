@@ -67,7 +67,11 @@ def pack_sequence(
     cfg = config
     feat_t = np.array([f.t for f in seq.features]) if seq.features else np.zeros(0)
     streams = [seq.dvl_twist_t] + ([feat_t] if len(feat_t) else [])
-    triples = approximate_time_join(seq.dvl_pose_t, streams, cfg.timesync.slop)
+    # Native C++ join when the toolchain is available (uslam_tpu.native),
+    # byte-identical to the Python implementation.
+    from uslam_tpu import native
+
+    triples = native.approx_time_join(seq.dvl_pose_t, streams, cfg.timesync.slop)
 
     # Latest pressure at or before each keyframe; drop keyframes before the
     # first pressure message (reference batch.py:54 drop semantics).
@@ -244,7 +248,7 @@ def pack_sequence(
     )
     imu = ImuIntervals(
         data=imu_data,
-        whitener=_compute_imu_whiteners(imu_data, cfg),
+        whitener=jnp.asarray(_compute_imu_whiteners(imu_data, cfg), dtype),
         mask=jnp.asarray(imu_mask, dtype),
     )
     graph = GraphArrays(

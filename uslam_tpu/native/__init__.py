@@ -1,0 +1,130 @@
+"""Native (C++) host runtime: build-on-demand ctypes bindings.
+
+The compute path is JAX/XLA/Pallas on the TPU; this package is the native
+host-side runtime layer — the role ROS's C++ transport/synchronization
+plays in the reference (batch.py:321-326). Compiled lazily with g++ and
+cached beside the source; every entry point has a numpy fallback so the
+framework works without a toolchain (``available()`` reports which is
+active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "ingest.cpp")
+_SO = os.path.join(_HERE, "libuslam_ingest.so")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.approx_time_join2.restype = ctypes.c_int64
+            lib.approx_time_join2.argtypes = [
+                f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p, ctypes.c_int64,
+                ctypes.c_double, i64p, i64p, i64p,
+            ]
+            lib.intern_ids.restype = ctypes.c_int64
+            lib.intern_ids.argtypes = [i64p, ctypes.c_int64, i64p]
+            lib.pack_imu_intervals.restype = None
+            lib.pack_imu_intervals.argtypes = [
+                f64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_double, f64p, f64p,
+            ]
+            _LIB = lib
+        except Exception:  # toolchain missing / build failure -> fallback
+            _LIB = None
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def approx_time_join(pivot_t, other_ts, slop: float):
+    """Native variant of io.timesync.approximate_time_join (1-2 streams).
+
+    Returns list of (pivot_idx, [other_idx...]) like the Python version.
+    """
+    lib = _load()
+    if lib is None or len(other_ts) not in (1, 2):
+        from uslam_tpu.io.timesync import approximate_time_join as py_join
+
+        return py_join(np.asarray(pivot_t), [np.asarray(o) for o in other_ts], slop)
+
+    pivot = np.ascontiguousarray(pivot_t, np.float64)
+    s1 = np.ascontiguousarray(other_ts[0], np.float64)
+    s2 = (
+        np.ascontiguousarray(other_ts[1], np.float64)
+        if len(other_ts) == 2
+        else np.zeros(0)
+    )
+    cap = len(pivot)
+    op = np.empty(cap, np.int64)
+    o1 = np.empty(cap, np.int64)
+    o2 = np.empty(cap, np.int64)
+    n = lib.approx_time_join2(
+        pivot, len(pivot), s1, len(s1), s2, len(s2), slop, op, o1, o2
+    )
+    if len(other_ts) == 1:
+        return [(int(op[i]), [int(o1[i])]) for i in range(n)]
+    return [(int(op[i]), [int(o1[i]), int(o2[i])]) for i in range(n)]
+
+
+def intern_ids(ids) -> tuple[np.ndarray, int]:
+    """ids (n,) int64 -> (dense rows (n,), num_unique), first-appearance order."""
+    lib = _load()
+    ids = np.ascontiguousarray(ids, np.int64)
+    if lib is None:
+        uniq: dict[int, int] = {}
+        rows = np.empty(len(ids), np.int64)
+        for i, v in enumerate(ids):
+            rows[i] = uniq.setdefault(int(v), len(uniq))
+        return rows, len(uniq)
+    rows = np.empty(len(ids), np.int64)
+    m = lib.intern_ids(ids, len(ids), rows)
+    return rows, int(m)
+
+
+def pack_imu_intervals(imu_6col, lo, hi, S: int, dt: float):
+    """(T, 6) float64 + interval bounds -> ((n_int, S, 7), mask (n_int,))."""
+    imu = np.ascontiguousarray(imu_6col, np.float64)
+    lo = np.ascontiguousarray(lo, np.int64)
+    hi = np.ascontiguousarray(hi, np.int64)
+    n_int = len(lo)
+    lib = _load()
+    out = np.zeros((n_int, S, 7))
+    mask = np.zeros(n_int)
+    if lib is None:
+        for i in range(n_int):
+            a, b = int(lo[i]), min(int(hi[i]), int(lo[i]) + S)
+            c = max(b - a, 0)
+            if c:
+                out[i, :c, :6] = imu[a : a + c]
+                out[i, :c, 6] = dt
+                mask[i] = 1.0
+        return out, mask
+    lib.pack_imu_intervals(imu, len(imu), lo, hi, n_int, S, dt, out, mask)
+    return out, mask

@@ -111,16 +111,19 @@ def sharded_lm_step(
         lin = linearize_graph(graph_rep, vals_full, cam, dvl_sigma, stereo_sigma, gravity)
 
         lam = jnp.asarray(damping, lin.stereo_r.dtype)
-        H_cc, g_c, _ = assemble_dense(lin, n, 0)
+        pose_total = POSE_DIM * n
+        # Camera part in the pose-major layout (same as solve_schur).
+        H_cc, g_c, _ = assemble_dense(lin, n, 0, pose_major=True)
         Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
         cam_idx = graph_rep.stereo.cam_idx
-        p_off = FRAME_DIM * cam_idx
+        p_off = POSE_DIM * cam_idx
         # Pose-diagonal stereo terms: identical on every device (replicated
         # flat arrays) — added outside the psum.
         H_cc = scatter_H(H_cc, p_off, p_off, jnp.einsum("fda,fdb->fab", Jp, Jp))
         g_c = scatter_g(g_c, p_off, -jnp.einsum("fda,fd->fa", Jp, r))
 
-        # ---- shard-local landmark elimination ----
+        # ---- shard-local landmark elimination (matmul formulation) ----
+        m_loc = lm_obs_idx.shape[0]
         mask_b = lm_obs_mask[..., None, None]
         Jl_g = Jl[lm_obs_idx] * mask_b                        # (m_loc,K,3,3)
         r_g = r[lm_obs_idx] * lm_obs_mask[..., None]          # (m_loc,K,3)
@@ -130,38 +133,40 @@ def sharded_lm_step(
         Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
         Wg = jnp.einsum("mkda,mkdb->mkab", Jp[lm_obs_idx] * mask_b, Jl_g)
         cam_g = cam_idx[lm_obs_idx]
-
-        y = jnp.einsum("mab,mb->ma", Hll_inv, g_l)
-        g_corr_local = scatter_g(
-            jnp.zeros(Dc, r.dtype),
-            (FRAME_DIM * cam_g).reshape(-1),
-            -jnp.einsum("mkab,mb->mka", Wg, y).reshape(-1, POSE_DIM),
-        )
         Y = jnp.einsum("mkab,mbc->mkac", Wg, Hll_inv)
-        corr = jnp.einsum("mkac,mlbc->mklab", Y, Wg)
-        K = Wg.shape[1]
-        rows = (FRAME_DIM * cam_g)[:, :, None].repeat(K, axis=2).reshape(-1)
-        cols = (FRAME_DIM * cam_g)[:, None, :].repeat(K, axis=1).reshape(-1)
-        H_corr_local = scatter_H(
-            jnp.zeros((Dc, Dc), r.dtype), rows, cols,
-            -corr.reshape(-1, POSE_DIM, POSE_DIM),
-        )
+
+        def stack_blocks(blocks):
+            T = jnp.zeros((n, POSE_DIM, m_loc, LM_DIM), r.dtype)
+            m_idx = jnp.broadcast_to(jnp.arange(m_loc)[:, None], cam_g.shape)
+            T = T.at[cam_g, :, m_idx, :].add(blocks)
+            return T.reshape(pose_total, m_loc * LM_DIM)
+
+        U = stack_blocks(Y)
+        V = stack_blocks(Wg)
+        g_corr_local = U @ g_l.reshape(-1)                    # (6N,)
+        H_corr_local = U @ V.T                                # (6N, 6N)
 
         # ---- the one collective: combine landmark-shard contributions ----
-        H_red = H_cc + jax.lax.psum(H_corr_local, axis)
-        g_red = g_c + jax.lax.psum(g_corr_local, axis)
+        H_corr = jax.lax.psum(H_corr_local, axis)
+        g_corr = jax.lax.psum(g_corr_local, axis)
+        H_red = H_cc.at[:pose_total, :pose_total].add(-H_corr)
+        g_red = g_c.at[:pose_total].add(-g_corr)
 
         H_red = H_red + (lam + 1e-8) * jnp.eye(Dc, dtype=r.dtype)
-        delta_c = scaled_cho_solve(H_red, g_red)
+        delta_perm = scaled_cho_solve(H_red, g_red)
 
         # ---- shard-local back-substitution ----
-        frames = delta_c[: FRAME_DIM * n].reshape(n, FRAME_DIM)
-        dpose_g = frames[:, :POSE_DIM][cam_g]
-        rhs = g_l - jnp.einsum("mkab,mka->mb", Wg, dpose_g)
+        dpose = delta_perm[:pose_total]
+        rhs = g_l - (V.T @ dpose).reshape(m_loc, LM_DIM)
         delta_l_local = jnp.einsum("mab,mb->ma", Hll_inv, rhs)
-
         delta_l = jax.lax.all_gather(delta_l_local, axis, tiled=True)
-        delta = jnp.concatenate([delta_c, delta_l.reshape(-1)])
+
+        # Permute camera delta back to interleaved frames.
+        dvel = delta_perm[pose_total : pose_total + 3 * n].reshape(n, 3)
+        frames = jnp.concatenate([dpose.reshape(n, POSE_DIM), dvel], axis=1)
+        delta = jnp.concatenate(
+            [frames.reshape(-1), delta_perm[pose_total + 3 * n :], delta_l.reshape(-1)]
+        )
         return values_retract(vals_full, delta)
 
     spec_lm = P(axis)

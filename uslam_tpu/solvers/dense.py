@@ -43,12 +43,28 @@ def scatter_g(g, off, vecs):
     return g.at[_block_rows(off, vecs.shape[-1])].add(vecs)
 
 
-def assemble_dense(lin: Linearization, num_poses: int, num_landmarks: int):
-    """Build (H, g) = (J^T J, -J^T r) over the full tangent space."""
+def assemble_dense(
+    lin: Linearization, num_poses: int, num_landmarks: int, pose_major: bool = False
+):
+    """Build (H, g) = (J^T J, -J^T r) over the full tangent space.
+
+    ``pose_major=True`` lays the camera part out as
+    [pose_0..pose_{N-1} (6 each) | vel_0..vel_{N-1} (3 each) | bias(6)]
+    instead of interleaved 9-dim frames — the Schur solver uses this so the
+    landmark correction lands on one contiguous (6N, 6N) block (a single
+    matmul instead of a 75M-element scatter; see schur.py).
+    """
     n, m = num_poses, num_landmarks
     D = FRAME_DIM * n + BIAS_DIM + LM_DIM * m
-    bias_off = FRAME_DIM * n
-    lm_base = bias_off + BIAS_DIM
+    if pose_major:
+        pose_off = lambda k: POSE_DIM * k          # noqa: E731
+        vel_off = lambda k: POSE_DIM * n + VEL_DIM_ * k  # noqa: E731
+        bias_off = FRAME_DIM * n
+    else:
+        pose_off = lambda k: FRAME_DIM * k         # noqa: E731
+        vel_off = lambda k: FRAME_DIM * k + POSE_DIM  # noqa: E731
+        bias_off = FRAME_DIM * n
+    lm_base = FRAME_DIM * n + BIAS_DIM
     dtype = lin.stereo_r.dtype
     H = jnp.zeros((D, D), dtype)
     g = jnp.zeros(D, dtype)
@@ -59,13 +75,13 @@ def assemble_dense(lin: Linearization, num_poses: int, num_landmarks: int):
         return H, g
 
     # Priors (single factors on frame 0 / bias).
-    H, g = add_single(H, g, 0, POSE_DIM, lin.prior_pose_J, lin.prior_pose_r)
-    H, g = add_single(H, g, POSE_DIM, 3, lin.prior_vel_J, lin.prior_vel_r)
+    H, g = add_single(H, g, pose_off(0), POSE_DIM, lin.prior_pose_J, lin.prior_pose_r)
+    H, g = add_single(H, g, vel_off(0), 3, lin.prior_vel_J, lin.prior_vel_r)
     H, g = add_single(H, g, bias_off, BIAS_DIM, lin.prior_bias_J, lin.prior_bias_r)
 
     # Dense marginal prior on [pose_0(6), vel_0(3), bias(6)] (fixed-lag).
     Jm, rm = lin.marg_J, lin.marg_r
-    m_offs = (0, POSE_DIM, bias_off)
+    m_offs = (pose_off(0), vel_off(0), bias_off)
     m_dims = (POSE_DIM, VEL_DIM_, BIAS_DIM)
     col0 = (0, POSE_DIM, POSE_DIM + VEL_DIM_)
     for a in range(3):
@@ -80,10 +96,10 @@ def assemble_dense(lin: Linearization, num_poses: int, num_landmarks: int):
     # IMU: intervals k couple frames (k, k+1) + bias.
     k = jnp.arange(lin.imu_r.shape[0])
     offs = {
-        "pi": FRAME_DIM * k,
-        "vi": FRAME_DIM * k + POSE_DIM,
-        "pj": FRAME_DIM * (k + 1),
-        "vj": FRAME_DIM * (k + 1) + POSE_DIM,
+        "pi": pose_off(k),
+        "vi": vel_off(k),
+        "pj": pose_off(k + 1),
+        "vj": vel_off(k + 1),
         "b": jnp.full_like(k, bias_off),
     }
     Js = {
@@ -102,7 +118,7 @@ def assemble_dense(lin: Linearization, num_poses: int, num_landmarks: int):
 
     # DVL: per-frame (pose, vel).
     i = jnp.arange(lin.dvl_r.shape[0])
-    p_off, v_off = FRAME_DIM * i, FRAME_DIM * i + POSE_DIM
+    p_off, v_off = pose_off(i), vel_off(i)
     g = scatter_g(g, p_off, -jnp.einsum("fda,fd->fa", lin.dvl_J_pose, lin.dvl_r))
     g = scatter_g(g, v_off, -jnp.einsum("fda,fd->fa", lin.dvl_J_vel, lin.dvl_r))
     H = scatter_H(H, p_off, p_off, jnp.einsum("fda,fdb->fab", lin.dvl_J_pose, lin.dvl_J_pose))

@@ -37,20 +37,28 @@ def solve_schur(
     cg_iters: int = 200,
     cg_tol: float = 1e-8,
 ):
-    """Solve the damped normal equations; returns delta over the full
-    tangent layout [frames(9N), bias(6), landmarks(3M)]."""
+    """Solve the damped normal equations; returns delta over the global
+    tangent layout [frames(9N), bias(6), landmarks(3M)].
+
+    Internally the camera system uses a POSE-MAJOR layout
+    [poses(6N) | vels(3N) | bias(6)] so the landmark Schur correction is a
+    contiguous top-left block computed as ONE matmul, U @ V^T with
+    U = stacked W Hll^{-1} and V = stacked W scattered into (6N, 3M) —
+    the naive per-observation-pair scatter of M*K^2 6x6 blocks was ~50x
+    slower on TPU (scatter-bound, measured ~1s/iteration at N=1000)."""
     n, m = num_poses, num_landmarks
     Dc = FRAME_DIM * n + BIAS_DIM
+    pose_dim_total = POSE_DIM * n
     dtype = lin.stereo_r.dtype
     lam = jnp.asarray(damping, dtype)
 
-    # Camera-only part from priors + IMU + DVL.
-    H_cc, g_c, _ = assemble_dense(lin, n, 0)
+    # Camera-only part from priors + IMU + DVL (pose-major layout).
+    H_cc, g_c, _ = assemble_dense(lin, n, 0, pose_major=True)
 
     Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
-    p_off = FRAME_DIM * stereo.cam_idx
+    p_off = POSE_DIM * stereo.cam_idx
 
-    # Stereo pose-pose diagonal + gradient.
+    # Stereo pose-pose diagonal + gradient (small scatter: F blocks).
     H_cc = scatter_H(H_cc, p_off, p_off, jnp.einsum("fda,fdb->fab", Jp, Jp))
     g_c = scatter_g(g_c, p_off, -jnp.einsum("fda,fd->fa", Jp, r))
 
@@ -62,48 +70,52 @@ def solve_schur(
 
     # Damped 3x3 inverses (batched). Floor keeps padded landmarks sane.
     eye3 = jnp.eye(LM_DIM, dtype=dtype)
-    Hll_damped = Hll + (lam + 1e-8) * eye3
-    Hll_inv = jnp.linalg.inv(Hll_damped)
+    Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
 
-    # Camera-landmark coupling per observation: W_f = Jp_f^T Jl_f (6x3).
+    # Per-observation coupling W_f = Jp_f^T Jl_f (6x3), grouped by landmark.
     W = jnp.einsum("fda,fdb->fab", Jp, Jl)
-
-    # Gather per-landmark observation groups.
     Wg = W[stereo.lm_obs_idx] * stereo.lm_obs_mask[..., None, None]  # (M,K,6,3)
     cam_g = stereo.cam_idx[stereo.lm_obs_idx]                        # (M,K)
-
-    # Schur correction of the gradient: g_red = g_c - W Hll^-1 g_l.
-    y = jnp.einsum("mab,mb->ma", Hll_inv, g_l)                       # (M,3)
-    g_corr = jnp.einsum("mkab,mb->mka", Wg, y)                       # (M,K,6)
-    g_c = scatter_g(
-        g_c,
-        (FRAME_DIM * cam_g).reshape(-1),
-        -g_corr.reshape(-1, POSE_DIM),
-    )
-
-    # Schur correction of the Hessian:
-    # H_red -= sum_j W_{jk} Hll_j^{-1} W_{jl}^T for all obs pairs (k, l).
     Y = jnp.einsum("mkab,mbc->mkac", Wg, Hll_inv)                    # (M,K,6,3)
-    corr = jnp.einsum("mkac,mlbc->mklab", Y, Wg)                     # (M,K,K,6,6)
-    K = Wg.shape[1]
-    rows = (FRAME_DIM * cam_g)[:, :, None].repeat(K, axis=2).reshape(-1)
-    cols = (FRAME_DIM * cam_g)[:, None, :].repeat(K, axis=1).reshape(-1)
-    H_red = scatter_H(H_cc, rows, cols, -corr.reshape(-1, POSE_DIM, POSE_DIM))
+
+    # Stack into (N,6,M,3): T[cam_g[m,k], :, m, :] += blocks[m,k].
+    # Unique (frame, landmark) slots -> a small, duplicate-light scatter of
+    # M*K 6x3 blocks; the heavy lifting is then the single MXU matmul.
+    def stack_blocks(blocks):
+        T = jnp.zeros((n, POSE_DIM, m, LM_DIM), dtype)
+        m_idx = jnp.broadcast_to(jnp.arange(m)[:, None], cam_g.shape)
+        T = T.at[cam_g, :, m_idx, :].add(blocks)
+        return T.reshape(pose_dim_total, m * LM_DIM)
+
+    U = stack_blocks(Y)   # (6N, 3M) = stacked W Hll^-1
+    V = stack_blocks(Wg)  # (6N, 3M) = stacked W
+
+    # Gradient correction: g_red_pose -= U @ g_l  (y_m = Hll^-1 g_l folded
+    # into U already? no — U = W Hll^-1, so U @ g_l_flat = sum_m W Hll^-1 g_l).
+    g_c = g_c.at[:pose_dim_total].add(-(U @ g_l.reshape(-1)))
+
+    # Hessian correction: one matmul on the contiguous pose block.
+    H_corr = U @ V.T                                                 # (6N, 6N)
+    H_red = H_cc.at[:pose_dim_total, :pose_dim_total].add(-H_corr)
 
     # Damped reduced solve.
     H_red = H_red + (lam + 1e-8) * jnp.eye(Dc, dtype=dtype)
     if cg:
-        delta_c = _cg_solve(H_red, g_c, cg_iters, cg_tol)
+        delta_perm = _cg_solve(H_red, g_c, cg_iters, cg_tol)
     else:
-        delta_c = scaled_cho_solve(H_red, g_c)
+        delta_perm = scaled_cho_solve(H_red, g_c)
 
-    # Back-substitute landmarks: dl_j = Hll_j^-1 (g_l_j - sum_k W_{jk}^T dc_k).
-    frames = delta_c[: FRAME_DIM * n].reshape(n, FRAME_DIM)
-    dpose = frames[:, :POSE_DIM]                                     # (N,6)
-    dpose_g = dpose[cam_g]                                           # (M,K,6)
-    rhs = g_l - jnp.einsum("mkab,mka->mb", Wg, dpose_g)
+    # Back-substitute landmarks: dl = Hll^-1 (g_l - V^T dpose).
+    dpose = delta_perm[:pose_dim_total]
+    rhs = g_l - (V.T @ dpose).reshape(m, LM_DIM)
     delta_l = jnp.einsum("mab,mb->ma", Hll_inv, rhs)
 
+    # Permute camera delta back to the global interleaved frame layout.
+    dvel = delta_perm[pose_dim_total : pose_dim_total + 3 * n].reshape(n, 3)
+    frames = jnp.concatenate([dpose.reshape(n, POSE_DIM), dvel], axis=1)
+    delta_c = jnp.concatenate(
+        [frames.reshape(-1), delta_perm[pose_dim_total + 3 * n :]]
+    )
     return jnp.concatenate([delta_c, delta_l.reshape(-1)])
 
 
