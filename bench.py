@@ -45,10 +45,10 @@ def main() -> None:
     log(f"bench: platform={jax.default_backend()} devices={jax.devices()}")
 
     from uslam_tpu.config import SolverConfig, UslamConfig
-    from uslam_tpu.factors.depth import pressure_to_depth
+    from uslam_tpu.geometry.camera import StereoCamera
+    from uslam_tpu.graph.packing import pack_sequence
     from uslam_tpu.io.synthetic import SyntheticSpec, generate_synthetic_sequence
-    from uslam_tpu.io.timesync import slice_stream
-    from uslam_tpu.pipeline import AUVSlam, run_solver
+    from uslam_tpu.pipeline import run_solver
 
     keyframe_rate = 5.0
     duration = n_poses / keyframe_rate
@@ -66,31 +66,20 @@ def main() -> None:
     log(f"bench: generated {duration:.0f}s sequence in {time.perf_counter()-t0:.1f}s")
 
     cfg = UslamConfig(solver=SolverConfig(max_iterations=50))
-    slam = AUVSlam(cfg)
     t0 = time.perf_counter()
-    prev_t = None
-    for i, t in enumerate(seq.dvl_pose_t):
-        depth = float(pressure_to_depth(seq.pressure_mbar[i], cfg.pressure))
-        sl = slice_stream(seq.imu_t, prev_t if prev_t is not None else -np.inf, float(t))
-        for k in range(sl.start, sl.stop):
-            slam.update_imu(seq.imu_acc[k], seq.imu_gyro[k], 0.005)
-        prev_t = float(t)
-        ff = seq.features[i]
-        slam.batch_update(
-            seq.dvl_pose_quat[i], seq.dvl_pose_pos[i], seq.dvl_twist_vel[i],
-            depth, (ff.ids, ff.u0, ff.v0, ff.u1, ff.v1),
-        )
-    graph, initial = slam.batch_create()
+    graph, initial, _odom, _ = pack_sequence(seq, cfg)
+    ingest_s = time.perf_counter() - t0
     log(
-        f"bench: built graph in {time.perf_counter()-t0:.1f}s — "
+        f"bench: packed graph in {ingest_s:.2f}s — "
         f"{initial.num_poses} poses, {initial.num_landmarks} landmarks, "
         f"{graph.stereo.meas.shape[0]} stereo obs slots "
         f"({int(np.asarray(graph.stereo.mask).sum())} real), "
         f"K={graph.stereo.lm_obs_idx.shape[1]}"
     )
+    cam = StereoCamera.from_config(cfg.camera)
 
     solve_args = (
-        graph, initial, slam.cam,
+        graph, initial, cam,
         cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity, cfg.solver,
     )
 
@@ -118,10 +107,36 @@ def main() -> None:
         init_ate = ate_rmse(np.asarray(initial.pose_trans), seq.gt_pos[: initial.num_poses])
         log(f"bench: ATE {init_ate:.4f} -> {ate:.4f} m")
 
-    rtf = duration / solve_s
+    # Front-end throughput at the reference camera resolution (stderr info;
+    # the BASELINE.md "front-end frames/s" figure).
+    if os.environ.get("BENCH_FRONTEND", "1") == "1":
+        try:
+            import jax.numpy as jnp
+
+            from uslam_tpu.frontend.orb import extract_orb
+
+            rng = np.random.default_rng(0)
+            img = jnp.asarray(rng.uniform(0, 255, (1080, 1920)), jnp.float32)
+            t0 = time.perf_counter()
+            kp = extract_orb(img, cfg.frontend)
+            jax.block_until_ready(kp)
+            log(f"bench: frontend compile+first {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            reps = 10
+            for _ in range(reps):
+                kp = extract_orb(img, cfg.frontend)
+            jax.block_until_ready(kp)
+            fps = reps / (time.perf_counter() - t0)
+            log(f"bench: frontend {fps:.1f} frames/s @1920x1080 (mono)")
+        except Exception as e:  # pragma: no cover
+            log(f"bench: frontend bench skipped: {e}")
+
+    total_s = ingest_s + solve_s
+    rtf = duration / total_s
     log(
-        f"bench: steady solve {solve_s:.2f}s for {duration:.0f}s of data "
-        f"=> {rtf:.1f}x real-time ({int(stats.iterations)} iters)"
+        f"bench: ingest {ingest_s:.2f}s + steady solve {solve_s:.2f}s for "
+        f"{duration:.0f}s of data => {rtf:.1f}x real-time "
+        f"({int(stats.iterations)} iters)"
     )
     print(
         json.dumps(

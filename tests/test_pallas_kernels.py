@@ -51,3 +51,17 @@ class TestHammingPallas:
         ours = hamming_matrix_pallas(da, db, tile=64, interpret=True)
         ref = hamming_distance_matrix(da, db)
         np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_extract_orb_pallas_path_matches():
+    """use_pallas=True (interpret mode on CPU) gives identical keypoints."""
+    import jax.numpy as jnp
+    from uslam_tpu.config import FrontendConfig
+    from uslam_tpu.frontend.orb import extract_orb
+
+    img = jnp.asarray(textured_image(128, 256))
+    k_x = extract_orb(img, FrontendConfig(pyramid_levels=1))
+    k_p = extract_orb(img, FrontendConfig(pyramid_levels=1, use_pallas=True))
+    np.testing.assert_array_equal(np.asarray(k_x.mask), np.asarray(k_p.mask))
+    np.testing.assert_array_equal(np.asarray(k_x.xy), np.asarray(k_p.xy))
+    np.testing.assert_array_equal(np.asarray(k_x.desc), np.asarray(k_p.desc))

@@ -112,6 +112,9 @@ class FrontendConfig:
     # Static shapes: features kept per frame = grid_rows*grid_cols*per_cell
     # rounded up; candidate pool size before grid top-K.
     max_candidates: int = 1024
+    # Use the fused Pallas TPU kernels (frontend/pallas_kernels.py) for
+    # detection and matching instead of the pure-XLA paths.
+    use_pallas: bool = False
 
     @property
     def max_features(self) -> int:
@@ -141,6 +144,9 @@ class SolverConfig:
     reduced_solver: str = "cholesky"
     cg_max_iterations: int = 200
     cg_tol: float = 1e-8
+    # Sanitizer (SURVEY.md §5): raise on NaN/Inf inside the jitted solve —
+    # JAX's jax_debug_nans, enabled around run_solver.
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

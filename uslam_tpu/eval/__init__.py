@@ -9,6 +9,7 @@ mirroring ``graph.saveGraph("graph.dot")`` (batch.py:338).
 from uslam_tpu.eval.metrics import (  # noqa: F401
     ate_rmse,
     mse_reference_compat,
+    rpe_rmse,
     trajectory_from_values,
 )
 from uslam_tpu.eval.plot import plot_trajectory_3d  # noqa: F401

@@ -48,6 +48,18 @@ def ate_rmse(
     return float(np.sqrt(np.mean(np.sum((est - ref) ** 2, axis=-1))))
 
 
+def rpe_rmse(
+    estimate_xyz: np.ndarray, reference_xyz: np.ndarray, delta: int = 1
+) -> float:
+    """Relative pose error (translation RMSE over ``delta``-step increments)
+    — drift-rate metric complementing ATE."""
+    est = np.asarray(estimate_xyz, np.float64)
+    ref = np.asarray(reference_xyz, np.float64)
+    d_est = est[delta:] - est[:-delta]
+    d_ref = ref[delta:] - ref[:-delta]
+    return float(np.sqrt(np.mean(np.sum((d_est - d_ref) ** 2, axis=-1))))
+
+
 def _umeyama_align(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Rigid (R, t) aligning src -> dst in least squares."""
     mu_s, mu_d = src.mean(0), dst.mean(0)

@@ -22,8 +22,14 @@ import jax.numpy as jnp
 BIG = jnp.int32(1 << 20)
 
 
-def hamming_distance_matrix(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+def hamming_distance_matrix(
+    da: jnp.ndarray, db: jnp.ndarray, use_pallas: bool = False
+) -> jnp.ndarray:
     """(Na, W) x (Nb, W) packed uint32 -> (Na, Nb) int32 Hamming distance."""
+    if use_pallas:
+        from uslam_tpu.frontend.pallas_kernels import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(da, db)
     x = jnp.bitwise_xor(da[:, None, :], db[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
@@ -72,10 +78,12 @@ def match_descriptors(
     mask_b: jnp.ndarray,
     max_distance: int = 64,
     ratio: float = 0.8,
+    use_pallas: bool = False,
 ) -> Matches:
     """Temporal matching A (current) -> B (previous)."""
     return _mutual_ratio_match(
-        hamming_distance_matrix(desc_a, desc_b), mask_a, mask_b, max_distance, ratio
+        hamming_distance_matrix(desc_a, desc_b, use_pallas),
+        mask_a, mask_b, max_distance, ratio,
     )
 
 
@@ -91,13 +99,14 @@ def stereo_match(
     max_v_diff: float = 5.0,
     min_disparity: float = 0.25,
     max_disparity: float = 512.0,
+    use_pallas: bool = False,
 ) -> Matches:
     """Left->right matching on a rectified pair.
 
     Gates: row agreement |vL - vR| <= max_v_diff (stereo.launch:47 uses
     5 px), disparity uL - uR in (min_disparity, max_disparity).
     """
-    dist = hamming_distance_matrix(desc_l, desc_r)
+    dist = hamming_distance_matrix(desc_l, desc_r, use_pallas)
     d_v = jnp.abs(xy_l[:, None, 1] - xy_r[None, :, 1])
     disp = xy_l[:, None, 0] - xy_r[None, :, 0]
     geom = (d_v <= max_v_diff) & (disp > min_disparity) & (disp < max_disparity)

@@ -154,8 +154,19 @@ def extract_orb(img: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()) -> Key
 
     for lvl, im in enumerate(levels):
         h, w = im.shape
-        corners = fast_corners(im, cfg.fast_threshold)
-        harris = harris_response(im)
+        if cfg.use_pallas:
+            from uslam_tpu.frontend.pallas_kernels import fast_harris_pallas
+
+            corner_i, harris = fast_harris_pallas(im, cfg.fast_threshold)
+            yy3 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xx3 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            corners = (
+                (corner_i != 0)
+                & (yy3 >= 3) & (yy3 < h - 3) & (xx3 >= 3) & (xx3 < w - 3)
+            )
+        else:
+            corners = fast_corners(im, cfg.fast_threshold)
+            harris = harris_response(im)
         # NMS among corner candidates only: non-corners must not suppress.
         masked_score = jnp.where(corners, harris, -3.4e38)
         valid = corners & nms3(masked_score)

@@ -135,13 +135,15 @@ def _fast_harris_kernel(img_hbm, corner_ref, harris_ref, *, threshold, tile_h, k
 
 def fast_harris_pallas(
     img: jnp.ndarray, threshold: float, k: float = 0.04, tile_h: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Fused FAST-9 corner mask + Harris response.
 
     Returns (corner int32 (H, W), harris f32 (H, W)); caller applies the
     3px interior mask exactly like :func:`fast.fast_corners`.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     h, w = img.shape
     tile_h = min(tile_h, max(8, h))
     pad_h = (-h) % tile_h
@@ -186,9 +188,11 @@ def _hamming_kernel(a_ref, b_ref, out_ref):
 
 
 def hamming_matrix_pallas(
-    da: jnp.ndarray, db: jnp.ndarray, tile: int = 128, interpret: bool = False
+    da: jnp.ndarray, db: jnp.ndarray, tile: int = 128, interpret: bool | None = None
 ) -> jnp.ndarray:
     """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int32, tiled over both axes."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     na, w = da.shape
     nb = db.shape[0]
     pa, pb = (-na) % tile, (-nb) % tile

@@ -165,19 +165,25 @@ def pack_sequence(
     m = len(uniq)
 
     # Landmark init: triangulate the FIRST observation at its keyframe pose.
+    # Jitted AND pinned to the CPU backend: ingest-time compute is tiny, and
+    # dispatching it op-by-op through this environment's TPU tunnel costs
+    # minutes (measured; see CLAUDE.md).
     if m:
         f0 = first_pos
-        meas0 = jnp.asarray(np.stack([uL[f0], uR[f0], vv[f0]], -1), dtype)
-        pose0 = Pose3(
-            jnp.asarray(quats[frame_idx[f0]], dtype),
-            jnp.asarray(trans[frame_idx[f0]], dtype),
-        )
-        lm_init = np.asarray(
-            jax.vmap(lambda q, t, mm: triangulate_stereo(cam, Pose3(q, t), mm))(
-                pose0.quat, pose0.trans, meas0
-            ),
-            np.float64,
-        )
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            meas0 = jnp.asarray(np.stack([uL[f0], uR[f0], vv[f0]], -1), dtype)
+            q0 = jnp.asarray(quats[frame_idx[f0]], dtype)
+            t0 = jnp.asarray(trans[frame_idx[f0]], dtype)
+            cam_cpu = jax.device_put(cam, cpu)
+            lm_init = np.asarray(
+                jax.jit(
+                    jax.vmap(
+                        lambda q, t, mm: triangulate_stereo(cam_cpu, Pose3(q, t), mm)
+                    )
+                )(q0, t0, meas0),
+                np.float64,
+            )
     else:
         lm_init = np.zeros((0, 3))
 

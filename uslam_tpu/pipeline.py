@@ -51,6 +51,12 @@ from uslam_tpu.utils.logging import get_logger
 log = get_logger("pipeline")
 
 
+@jax.jit
+def _triangulate_batch(cam, pose_quat, pose_trans, meas):
+    pose = Pose3(pose_quat, pose_trans)
+    return jax.vmap(lambda m: triangulate_stereo(cam, pose, m))(meas)
+
+
 @dataclass
 class SlamResult:
     values: Values
@@ -117,11 +123,19 @@ class AUVSlam:
         uL = (u0 + 1.0) * 0.5 * cfg.resolution_x
         uR = (u1 + 1.0) * 0.5 * cfg.resolution_x
         v = ((v0 + v1) / 2.0 + 1.0) * 0.5 * cfg.resolution_y
-        meas = jnp.asarray(np.stack([uL, uR, v], axis=-1), jnp.float32)
-        pose = Pose3(
-            jnp.asarray(pose_quat, jnp.float32), jnp.asarray(pose_trans, jnp.float32)
-        )
-        world = np.asarray(jax.vmap(lambda m: triangulate_stereo(self.cam, pose, m))(meas))
+        # CPU-pinned + jitted: per-keyframe host-side triangulation must not
+        # dispatch op-by-op through the TPU tunnel (see CLAUDE.md).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            meas = jnp.asarray(np.stack([uL, uR, v], axis=-1), jnp.float32)
+            world = np.asarray(
+                _triangulate_batch(
+                    jax.device_put(self.cam, cpu),
+                    jnp.asarray(pose_quat, jnp.float32),
+                    jnp.asarray(pose_trans, jnp.float32),
+                    meas,
+                )
+            )
         return [
             (int(ids[k]), float(uL[k]), float(uR[k]), float(v[k]), world[k])
             for k in range(len(ids))
@@ -231,8 +245,15 @@ def run_solver(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
 
     Matmul precision is pinned to 'highest': v5e MXU f32 matmuls default to
     bf16-accumulate passes, which is not enough for normal-equation solves.
+    ``solver_cfg.debug_nans`` enables JAX's NaN sanitizer for the solve
+    (SURVEY.md §5 — the rebuild's replacement for race/NaN debugging).
     """
-    with jax.default_matmul_precision("highest"):
+    import contextlib
+
+    nan_guard = (
+        jax.debug_nans(True) if solver_cfg.debug_nans else contextlib.nullcontext()
+    )
+    with jax.default_matmul_precision("highest"), nan_guard:
         return _jitted_lm(
             graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
         )
