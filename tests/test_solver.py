@@ -148,3 +148,36 @@ class TestLM:
         )
         assert np.isfinite(float(stats.final_error))
         assert float(stats.final_error) < float(stats.initial_error)
+
+
+class TestRobust:
+    def test_huber_suppresses_outliers(self):
+        """Corrupt a few stereo measurements; Huber keeps the solution near
+        clean-data quality while plain L2 degrades."""
+        import jax.numpy as jnp
+        from uslam_tpu.config import NoiseConfig
+
+        slam, graph, initial, seq = build_graph(duration=4.0, seed=5)
+        cfg = slam.config
+        n = initial.num_poses
+        # Corrupt 5 observations by 200 px.
+        meas = np.asarray(graph.stereo.meas).copy()
+        mask = np.asarray(graph.stereo.mask)
+        idx = np.nonzero(mask)[0][:5]
+        meas[idx, 0] += 200.0
+        graph_bad = graph._replace(
+            stereo=graph.stereo._replace(meas=jnp.asarray(meas))
+        )
+        v_l2, _ = run_solver(
+            graph_bad, initial, slam.cam, cfg.noise.dvl_sigma,
+            cfg.noise.stereo_sigma, cfg.imu.gravity, cfg.solver,
+        )
+        v_hub, _ = run_solver(
+            graph_bad, initial, slam.cam, cfg.noise.dvl_sigma,
+            cfg.noise.stereo_sigma, cfg.imu.gravity, cfg.solver,
+            huber_delta=1.345,
+        )
+        ate_l2 = ate_rmse(np.asarray(v_l2.pose_trans), seq.gt_pos[:n])
+        ate_hub = ate_rmse(np.asarray(v_hub.pose_trans), seq.gt_pos[:n])
+        assert ate_hub <= ate_l2 * 1.05, (ate_l2, ate_hub)
+        assert ate_hub < 0.1, ate_hub

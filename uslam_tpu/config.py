@@ -70,6 +70,9 @@ class NoiseConfig:
     # (sigma on all 6 components); None disables it for strict reference
     # semantics. SURVEY.md §2.1 recommends keeping it configurable.
     prior_bias_sigma: float | None = 0.316227766016838  # sqrt(0.1)
+    # Huber robust loss on stereo reprojection residuals (whitened units);
+    # None keeps the reference's plain Gaussian noise (batch.py:118).
+    stereo_huber_delta: float | None = None
 
 
 @dataclass(frozen=True)

@@ -126,7 +126,6 @@ def pack_sequence(
     dvl_mask[0] = 0.0
 
     # --- stereo features -------------------------------------------------
-    cam = StereoCamera.from_config(cfg.camera, dtype)
     rx, ry = cfg.camera.resolution_x, cfg.camera.resolution_y
     frames, ids_all, uL_all, uR_all, v_all = [], [], [], [], []
     if with_landmarks and len(feat_t):
@@ -175,7 +174,7 @@ def pack_sequence(
             meas0 = jnp.asarray(np.stack([uL[f0], uR[f0], vv[f0]], -1), dtype)
             q0 = jnp.asarray(quats[frame_idx[f0]], dtype)
             t0 = jnp.asarray(trans[frame_idx[f0]], dtype)
-            cam_cpu = jax.device_put(cam, cpu)
+            cam_cpu = StereoCamera.from_config(cfg.camera, dtype)
             lm_init = np.asarray(
                 jax.jit(
                     jax.vmap(
@@ -229,52 +228,56 @@ def pack_sequence(
     if m:
         landmarks[:m] = lm_init
 
-    # --- assemble pytrees -------------------------------------------------
+    # --- assemble pytrees (numpy leaves; ONE device transfer at the end —
+    # each separate host->device put costs a full round trip through this
+    # environment's TPU tunnel) ------------------------------------------
+    npt = np.float32 if dtype == jnp.float32 else np.float64
     noise = cfg.noise
     bias_weight = 0.0 if noise.prior_bias_sigma is None else 1.0 / noise.prior_bias_sigma
     priors = Priors(
-        pose_quat=jnp.asarray(quats[0], dtype),
-        pose_trans=jnp.asarray(trans[0], dtype),
-        pose_sigmas=jnp.asarray(noise.prior_pose_sigmas, dtype),
-        vel=jnp.zeros(3, dtype),
-        vel_sigma=jnp.asarray(noise.prior_vel_sigma, dtype),
-        bias=jnp.zeros(6, dtype),
-        bias_weight=jnp.asarray(bias_weight, dtype),
-        marg_sqrt_info=jnp.zeros((15, 15), dtype),
-        marg_pose_quat=jnp.array([1.0, 0, 0, 0], dtype),
-        marg_pose_trans=jnp.zeros(3, dtype),
-        marg_vel=jnp.zeros(3, dtype),
-        marg_bias=jnp.zeros(6, dtype),
-        marg_weight=jnp.zeros((), dtype),
+        pose_quat=np.asarray(quats[0], npt),
+        pose_trans=np.asarray(trans[0], npt),
+        pose_sigmas=np.asarray(noise.prior_pose_sigmas, npt),
+        vel=np.zeros(3, npt),
+        vel_sigma=np.asarray(noise.prior_vel_sigma, npt),
+        bias=np.zeros(6, npt),
+        bias_weight=np.asarray(bias_weight, npt),
+        marg_sqrt_info=np.zeros((15, 15), npt),
+        marg_pose_quat=np.array([1.0, 0, 0, 0], npt),
+        marg_pose_trans=np.zeros(3, npt),
+        marg_vel=np.zeros(3, npt),
+        marg_bias=np.zeros(6, npt),
+        marg_weight=np.zeros((), npt),
     )
-    imu_data = ImuIntervalData(
-        acc=jnp.asarray(acc, dtype),
-        gyro=jnp.asarray(gyro, dtype),
-        dt=jnp.asarray(dts, dtype),
+    imu_data_np = ImuIntervalData(
+        acc=np.asarray(acc, npt),
+        gyro=np.asarray(gyro, npt),
+        dt=np.asarray(dts, npt),
     )
     imu = ImuIntervals(
-        data=imu_data,
-        whitener=jnp.asarray(_compute_imu_whiteners(imu_data, cfg), dtype),
-        mask=jnp.asarray(imu_mask, dtype),
+        data=imu_data_np,
+        whitener=np.asarray(_compute_imu_whiteners(imu_data_np, cfg), npt),
+        mask=np.asarray(imu_mask, npt),
     )
     graph = GraphArrays(
         priors=priors,
         imu=imu,
-        dvl=DvlMeasurements(jnp.asarray(dvl, dtype), jnp.asarray(dvl_mask, dtype)),
+        dvl=DvlMeasurements(np.asarray(dvl, npt), np.asarray(dvl_mask, npt)),
         stereo=StereoObservations(
-            cam_idx=jnp.asarray(cam_idx),
-            lm_idx=jnp.asarray(lm_idx),
-            meas=jnp.asarray(meas, dtype),
-            mask=jnp.asarray(s_mask, dtype),
-            lm_obs_idx=jnp.asarray(lm_obs_idx),
-            lm_obs_mask=jnp.asarray(lm_obs_mask, dtype),
+            cam_idx=np.asarray(cam_idx, np.int32),
+            lm_idx=np.asarray(lm_idx, np.int32),
+            meas=np.asarray(meas, npt),
+            mask=np.asarray(s_mask, npt),
+            lm_obs_idx=np.asarray(lm_obs_idx, np.int32),
+            lm_obs_mask=np.asarray(lm_obs_mask, npt),
         ),
     )
     values = Values(
-        pose_quat=jnp.asarray(quats, dtype),
-        pose_trans=jnp.asarray(trans, dtype),
-        vel=jnp.zeros((n, 3), dtype),
-        bias=jnp.zeros(6, dtype),
-        landmarks=jnp.asarray(landmarks, dtype),
+        pose_quat=np.asarray(quats, npt),
+        pose_trans=np.asarray(trans, npt),
+        vel=np.zeros((n, 3), npt),
+        bias=np.zeros(6, npt),
+        landmarks=np.asarray(landmarks, npt),
     )
+    graph, values = jax.device_put((graph, values))
     return graph, values, odom_compare, row_of

@@ -185,6 +185,7 @@ class AUVSlam:
             cfg.noise.stereo_sigma,
             cfg.imu.gravity,
             cfg.solver,
+            cfg.noise.stereo_huber_delta,
         )
         jax.block_until_ready(values)
         dt = time.perf_counter() - t0
@@ -240,7 +241,10 @@ class AUVSlam:
         )
 
 
-def run_solver(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg):
+def run_solver(
+    graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
+    huber_delta=None,
+):
     """Jitted LM entry (shared by pipeline, bench and __graft_entry__).
 
     Matmul precision is pinned to 'highest': v5e MXU f32 matmuls default to
@@ -255,16 +259,25 @@ def run_solver(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
     )
     with jax.default_matmul_precision("highest"), nan_guard:
         return _jitted_lm(
-            graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+            graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
+            huber_delta,
         )
 
 
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.jit, static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg"))
-def _jitted_lm(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg):
-    return optimize_lm(graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg)
+@_partial(
+    jax.jit,
+    static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg", "huber_delta"),
+)
+def _jitted_lm(
+    graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg, huber_delta
+):
+    return optimize_lm(
+        graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
+        huber_delta,
+    )
 
 
 def run_sequence(

@@ -86,6 +86,7 @@ def linearize_graph(
     dvl_sigma: float,
     stereo_sigma: float,
     gravity: float,
+    huber_delta: float | None = None,
 ) -> Linearization:
     poses = Pose3(values.pose_quat, values.pose_trans)
 
@@ -196,6 +197,12 @@ def linearize_graph(
             )
 
         r0, J = _lin(fn, 9)
+        if huber_delta is not None:
+            # IRLS Huber: scale residual+Jacobian by sqrt(w),
+            # w = min(1, delta/||r||) — re-evaluated each linearization.
+            nrm = jnp.linalg.norm(r0)
+            w = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(nrm, 1e-9)))
+            r0, J = r0 * w, J * w
         return r0 * mask, J * mask
 
     s = graph.stereo
@@ -235,8 +242,10 @@ def graph_error(
     dvl_sigma: float,
     stereo_sigma: float,
     gravity: float,
+    huber_delta: float | None = None,
 ) -> jnp.ndarray:
-    """Total error without Jacobians (for LM step acceptance)."""
+    """Total error without Jacobians (for LM step acceptance). With a Huber
+    delta, stereo terms use the Huber cost rho(||r||)."""
     poses = Pose3(values.pose_quat, values.pose_trans)
     p = graph.priors
     e = 0.5 * jnp.sum(
@@ -283,5 +292,12 @@ def graph_error(
     st_r = jax.vmap(
         lambda pose, lm, meas: stereo_residual(cam, pose, lm, meas, stereo_sigma)
     )(obs_poses, values.landmarks[s.lm_idx], s.meas)
-    e += 0.5 * jnp.sum((st_r * s.mask[:, None]) ** 2)
+    if huber_delta is None:
+        e += 0.5 * jnp.sum((st_r * s.mask[:, None]) ** 2)
+    else:
+        nrm = jnp.linalg.norm(st_r, axis=-1)
+        quad = 0.5 * nrm**2
+        lin_cost = huber_delta * (nrm - 0.5 * huber_delta)
+        rho = jnp.where(nrm <= huber_delta, quad, lin_cost)
+        e += jnp.sum(rho * s.mask)
     return e

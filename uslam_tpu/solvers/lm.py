@@ -54,6 +54,7 @@ def optimize_lm(
     stereo_sigma: float,
     gravity: float,
     cfg: SolverConfig = SolverConfig(),
+    huber_delta: float | None = None,
 ) -> tuple[Values, LMStats]:
     """Run LM to convergence. Fully jittable (static shapes from the graph)."""
     n = initial.num_poses
@@ -66,6 +67,7 @@ def optimize_lm(
         dvl_sigma=dvl_sigma,
         stereo_sigma=stereo_sigma,
         gravity=gravity,
+        huber_delta=huber_delta,
     )
     lin_fn = partial(
         linearize_graph,
@@ -74,6 +76,7 @@ def optimize_lm(
         dvl_sigma=dvl_sigma,
         stereo_sigma=stereo_sigma,
         gravity=gravity,
+        huber_delta=huber_delta,
     )
 
     use_schur = cfg.linear_solver == "schur"
