@@ -42,7 +42,11 @@ def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
 # Fused FAST + Harris
 # --------------------------------------------------------------------------
 
-_OFF = 7  # interior row offset inside a slab: FAST(3) + Harris window(3) + sobel(1)
+# Interior row offset inside a slab. The algorithm needs 7 halo rows
+# (FAST ring 3 + Harris window 3 + Sobel 1); 8 keeps every HBM DMA slice
+# 8-row aligned (f32 sublane tiling — Mosaic rejects unaligned slices) and
+# makes slab_h = tile_h + 16 a sublane multiple.
+_OFF = 8
 
 
 def _hroll(x: jnp.ndarray, dx: int) -> jnp.ndarray:
@@ -134,7 +138,7 @@ def _fast_harris_kernel(img_hbm, corner_ref, harris_ref, *, threshold, tile_h, k
 
 
 def fast_harris_pallas(
-    img: jnp.ndarray, threshold: float, k: float = 0.04, tile_h: int = 128,
+    img: jnp.ndarray, threshold: float, k: float = 0.04, tile_h: int = 64,
     interpret: bool | None = None,
 ):
     """Fused FAST-9 corner mask + Harris response.
