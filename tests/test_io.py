@@ -68,3 +68,26 @@ def test_checkpoint_roundtrip(tmp_path):
     out = load_state(p, tree)
     np.testing.assert_allclose(np.asarray(out["a"]), np.arange(5.0))
     np.testing.assert_allclose(np.asarray(out["b"][0]), np.ones(3))
+
+
+def test_image_dir_loader(tmp_path):
+    from uslam_tpu.io.images import load_stereo_image_dirs
+
+    ld, rd = tmp_path / "left", tmp_path / "right"
+    ld.mkdir(); rd.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.save(ld / f"{i:06d}.npy", rng.uniform(0, 255, (24, 32)).astype(np.float32))
+        np.save(rd / f"{i:06d}.npy", rng.uniform(0, 255, (24, 32)).astype(np.float32))
+    t, left, right = load_stereo_image_dirs(str(ld), str(rd), rate_hz=5.0)
+    assert left.shape == (3, 24, 32) and right.shape == (3, 24, 32)
+    np.testing.assert_allclose(t, [0.0, 0.2, 0.4])
+
+    import pytest as _pytest
+    cv2 = _pytest.importorskip("cv2")
+    # png path via cv2
+    img = rng.uniform(0, 255, (24, 32)).astype(np.uint8)
+    cv2.imwrite(str(ld / "zzz.png"), img)
+    from uslam_tpu.io.images import _decode
+    out = _decode(str(ld / "zzz.png"))
+    np.testing.assert_allclose(out, img.astype(np.float32))
