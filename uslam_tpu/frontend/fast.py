@@ -65,31 +65,33 @@ def fast_corners(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return corner & interior
 
 
-def _conv2_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """2-D SAME convolution via lax.conv (kernel flipped = correlation)."""
-    kh, kw = kernel.shape
-    out = jax.lax.conv_general_dilated(
-        img[None, None],
-        kernel[None, None],
-        window_strides=(1, 1),
-        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
-
-
 def harris_response(img: jnp.ndarray, block: int = 7, k: float = 0.04) -> jnp.ndarray:
     """Harris corner response R = det(M) - k tr(M)^2 with Sobel gradients
     and a block x block summation window (OpenCV HarrisResponses uses
-    block 7 for ORB)."""
-    sobel_x = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype)
-    sobel_y = sobel_x.T
-    gx = _conv2_same(img, sobel_x)
-    gy = _conv2_same(img, sobel_y)
-    ones = jnp.ones((block, block), img.dtype)
-    sxx = _conv2_same(gx * gx, ones)
-    syy = _conv2_same(gy * gy, ones)
-    sxy = _conv2_same(gx * gy, ones)
+    block 7 for ORB).
+
+    Implemented as shifted adds (VPU bandwidth) rather than 1-channel 2-D
+    convolutions, which map poorly onto the MXU. Values within ``block``/2+1
+    pixels of the border are garbage (wrap/pad mix) — detection masks the
+    border anyway.
+    """
+    from uslam_tpu.frontend.pyramid import box_sum
+
+    s = _shift
+    gx = (
+        (s(img, -1, 1) - s(img, -1, -1))
+        + 2.0 * (s(img, 0, 1) - s(img, 0, -1))
+        + (s(img, 1, 1) - s(img, 1, -1))
+    )
+    gy = (
+        (s(img, 1, -1) - s(img, -1, -1))
+        + 2.0 * (s(img, 1, 0) - s(img, -1, 0))
+        + (s(img, 1, 1) - s(img, -1, 1))
+    )
+    r = block // 2
+    sxx = box_sum(gx * gx, r)
+    syy = box_sum(gy * gy, r)
+    sxy = box_sum(gx * gy, r)
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
     return det - k * tr * tr

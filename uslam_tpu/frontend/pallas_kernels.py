@@ -151,10 +151,13 @@ def fast_harris_pallas(
     h, w = img.shape
     tile_h = min(tile_h, max(8, h))
     pad_h = (-h) % tile_h
-    # Top/bottom halo + bottom tile alignment; edge-replicated values only
-    # reach pixels the interior mask discards anyway.
-    img_p = jnp.pad(img, ((_OFF, _OFF + pad_h), (0, 0)), mode="edge")
+    # Mosaic requires HBM slice widths aligned to the 128-lane tiling.
+    pad_w = (-w) % 128
+    # Top/bottom halo + tile alignment; edge-replicated values only reach
+    # pixels the interior mask discards anyway.
+    img_p = jnp.pad(img, ((_OFF, _OFF + pad_h), (0, pad_w)), mode="edge")
     n_tiles = (h + pad_h) // tile_h
+    w = w + pad_w
 
     kernel = functools.partial(
         _fast_harris_kernel, threshold=threshold, tile_h=tile_h, k=k
@@ -173,7 +176,8 @@ def fast_harris_pallas(
         ),
         interpret=interpret,
     )(img_p)
-    return corner[:h], harris[:h]
+    w0 = w - pad_w
+    return corner[:h, :w0], harris[:h, :w0]
 
 
 # --------------------------------------------------------------------------

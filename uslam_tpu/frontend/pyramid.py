@@ -26,16 +26,21 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
     return out
 
 
+def box_sum(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(2r+1)^2 box SUM via separable shifted adds: 2(2r+1) full-image adds,
+    pure VPU bandwidth, exact in f32 (an integral-image formulation loses
+    ~7 digits on megapixel cumsums). Edge-replicate padding."""
+    r = radius
+    k = 2 * r + 1
+    h, w = img.shape
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    rows = sum(x[i : i + h, :] for i in range(k))
+    y = jnp.pad(rows, ((0, 0), (r, r)), mode="edge")
+    return sum(y[:, j : j + w] for j in range(k))
+
+
 def box_blur(img: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
-    """Separable box blur (the rBRIEF pre-smoothing; OpenCV ORB uses an
+    """Box blur (the rBRIEF pre-smoothing; OpenCV ORB uses an
     integral-image box filter of similar support)."""
     k = 2 * radius + 1
-    kernel = jnp.ones((k,), img.dtype) / k
-    # Separable: rows then cols, SAME padding via edge clamp.
-    pad = [(radius, radius), (0, 0)]
-    x = jnp.pad(img, pad, mode="edge")
-    x = jax.vmap(lambda col: jnp.convolve(col, kernel, mode="valid"), in_axes=1, out_axes=1)(x)
-    pad = [(0, 0), (radius, radius)]
-    x = jnp.pad(x, pad, mode="edge")
-    x = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(x)
-    return x
+    return box_sum(img, radius) / (k * k)
