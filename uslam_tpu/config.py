@@ -118,6 +118,11 @@ class FrontendConfig:
     # Use the fused Pallas TPU kernels (frontend/pallas_kernels.py) for
     # detection and matching instead of the pure-XLA paths.
     use_pallas: bool = False
+    # Temporal association: 'orb' (descriptor matching, the north-star
+    # design) or 'klt' (pyramidal Lucas-Kanade prediction + nearest
+    # detection, the reference nodelet's method — stereo.launch:41-43).
+    temporal_tracker: str = "orb"
+    klt_gate_px: float = 2.0
 
     @property
     def max_features(self) -> int:

@@ -65,12 +65,34 @@ class StereoFrontend:
         self.cfg = cfg
         self._prev: Keypoints | None = None
         self._prev_ids: np.ndarray | None = None
+        self._prev_img = None
         self._next_id = 0
 
     def reset(self) -> None:
         self._prev = None
         self._prev_ids = None
+        self._prev_img = None
         self._next_id = 0
+
+    def _associate_klt(self, left: jnp.ndarray, kp_l: Keypoints):
+        """KLT-predict previous keypoints into this frame and associate each
+        current detection to the nearest prediction within ``klt_gate_px``
+        (the reference nodelet's tracking strategy, stereo.launch:41-43).
+
+        Returns (idx into prev per current kp, mask)."""
+        from uslam_tpu.frontend.klt import klt_track
+
+        cfg = self.cfg
+        tracked, ok = klt_track(
+            self._prev_img, left, self._prev.xy, self._prev.mask,
+            levels=cfg.pyramid_levels, radius=cfg.patch_size // 2,
+        )
+        d = jnp.linalg.norm(kp_l.xy[:, None, :] - tracked[None, :, :], axis=-1)
+        d = jnp.where(ok[None, :] & self._prev.mask[None, :], d, jnp.inf)
+        j = jnp.argmin(d, axis=1)
+        best = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        mask = (best <= cfg.klt_gate_px) & kp_l.mask
+        return jnp.where(mask, j, -1), mask
 
     def process(self, left: np.ndarray, right: np.ndarray, t: float) -> FeatureFrame:
         """One rectified grayscale stereo pair -> FeatureFrame (normalized
@@ -93,16 +115,24 @@ class StereoFrontend:
 
         # Temporal association on the left image for persistent ids.
         if self._prev is not None:
-            tm = match_descriptors(
-                kp_l.desc, kp_l.mask, self._prev.desc, self._prev.mask,
-                max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
-                use_pallas=cfg.use_pallas,
-            )
-            flow = kp_l.xy - self._prev.xy[jnp.maximum(tm.idx, 0)]
-            inlier = ransac_translation(
-                flow, tm.mask, threshold=cfg.ransac_threshold_px
-            )
-            tm_idx = np.asarray(jnp.where(inlier, tm.idx, -1))
+            if cfg.temporal_tracker == "klt":
+                tm_idx_j, tm_mask = self._associate_klt(left, kp_l)
+                flow = kp_l.xy - self._prev.xy[jnp.maximum(tm_idx_j, 0)]
+                inlier = ransac_translation(
+                    flow, tm_mask, threshold=cfg.ransac_threshold_px
+                )
+                tm_idx = np.asarray(jnp.where(inlier, tm_idx_j, -1))
+            else:
+                tm = match_descriptors(
+                    kp_l.desc, kp_l.mask, self._prev.desc, self._prev.mask,
+                    max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
+                    use_pallas=cfg.use_pallas,
+                )
+                flow = kp_l.xy - self._prev.xy[jnp.maximum(tm.idx, 0)]
+                inlier = ransac_translation(
+                    flow, tm.mask, threshold=cfg.ransac_threshold_px
+                )
+                tm_idx = np.asarray(jnp.where(inlier, tm.idx, -1))
         else:
             tm_idx = np.full(int(kp_l.mask.shape[0]), -1, np.int64)
 
@@ -123,6 +153,7 @@ class StereoFrontend:
 
         self._prev = kp_l
         self._prev_ids = ids
+        self._prev_img = left
 
         # Output contract: normalized [-1, 1] coords (batch.py:152-154).
         sel = ids >= 0
