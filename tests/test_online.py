@@ -1,0 +1,58 @@
+"""Online streaming pipeline: raw sensors + imagery in, poses out."""
+
+import numpy as np
+
+from uslam_tpu.config import CameraConfig, FrontendConfig, SolverConfig, UslamConfig
+from uslam_tpu.eval.metrics import ate_rmse
+from uslam_tpu.io.synthetic import SyntheticSpec, generate_synthetic_sequence
+from uslam_tpu.online import OnlineSlam
+
+
+def test_online_images_to_poses():
+    cam = CameraConfig(
+        fx=300.0, fy=300.0, cx=192.0, cy=120.0, baseline=0.12,
+        resolution_x=384, resolution_y=240,
+    )
+    spec = SyntheticSpec(
+        duration=4.0, num_landmarks=120, odom_drift_rate=0.02,
+        max_feature_depth=12.0, seed=6,
+    )
+    seq = generate_synthetic_sequence(spec, cam_cfg=cam, render_images=True,
+                                      omit_features=True)
+    cfg = UslamConfig(
+        camera=cam,
+        frontend=FrontendConfig(pyramid_levels=1, max_features_per_cell=6),
+        solver=SolverConfig(max_iterations=25),
+    )
+    online = OnlineSlam(cfg, window=6, solve_during_fill=False)
+
+    # Stream everything in time order, like live sensors.
+    imu_i = 0
+    for k, t in enumerate(seq.image_t):
+        while imu_i < len(seq.imu_t) and seq.imu_t[imu_i] < t:
+            online.add_imu(seq.imu_t[imu_i], seq.imu_acc[imu_i], seq.imu_gyro[imu_i])
+            imu_i += 1
+        online.add_pressure(seq.pressure_t[k], seq.pressure_mbar[k])
+        online.add_dvl_pose(seq.dvl_pose_t[k], seq.dvl_pose_quat[k], seq.dvl_pose_pos[k])
+        online.add_dvl_twist(seq.dvl_twist_t[k], seq.dvl_twist_vel[k])
+        online.add_stereo_frame(float(t), seq.images_left[k], seq.images_right[k])
+
+    assert online.keyframes >= 15
+    traj = online.trajectory()
+    n = len(traj)
+    ate = ate_rmse(traj, seq.gt_pos[:n])
+    assert ate < 0.25, ate
+
+
+def test_online_drops_unsynchronized_frames():
+    cfg = UslamConfig()
+    online = OnlineSlam(cfg, window=4)
+    img = np.zeros((48, 64), np.float32)
+    # No odom/twist/depth yet -> dropped.
+    assert online.add_stereo_frame(0.0, img, img) is None
+    online.add_pressure(0.0, 1000.0)
+    online.add_dvl_pose(0.0, [1, 0, 0, 0], [0, 0, 0])
+    online.add_dvl_twist(0.0, [0, 0, 0])
+    # Frame far outside the slop window -> dropped.
+    assert online.add_stereo_frame(5.0, img, img) is None
+    assert online.keyframes == 0

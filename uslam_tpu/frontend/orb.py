@@ -141,12 +141,24 @@ def _extract_patches(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, radius:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def extract_orb_batch(imgs: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()) -> Keypoints:
+    """ORB extraction over a batch of images (B, H, W) in ONE compiled call
+    — e.g. both images of a stereo pair, halving dispatch overhead (the
+    dominant cost on hosts with high device-call latency)."""
+    return jax.vmap(lambda im: _extract_orb_impl(im, cfg))(imgs)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def extract_orb(img: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()) -> Keypoints:
     """Full ORB extraction on one grayscale image (H, W) float32.
 
     Multi-scale: detect + describe per pyramid level, then a global grid
     top-K over the union keeps the per-cell budget at level-0 resolution.
     """
+    return _extract_orb_impl(img, cfg)
+
+
+def _extract_orb_impl(img: jnp.ndarray, cfg: FrontendConfig) -> Keypoints:
     levels = build_pyramid(img, cfg.pyramid_levels)
     per_level = []
     K_cell = cfg.max_features_per_cell

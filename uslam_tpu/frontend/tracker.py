@@ -101,8 +101,13 @@ class StereoFrontend:
         left = jnp.asarray(left, jnp.float32)
         right = jnp.asarray(right, jnp.float32)
 
-        kp_l = extract_orb(left, cfg)
-        kp_r = extract_orb(right, cfg)
+        # Both images of the pair in ONE compiled call (dispatch latency is
+        # the dominant per-frame cost on high-latency device links).
+        from uslam_tpu.frontend.orb import extract_orb_batch
+
+        kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)
+        kp_l = jax.tree.map(lambda a: a[0], kp_pair)
+        kp_r = jax.tree.map(lambda a: a[1], kp_pair)
         sm = stereo_match(
             kp_l.desc, kp_l.xy, kp_l.mask,
             kp_r.desc, kp_r.xy, kp_r.mask,
