@@ -65,7 +65,7 @@ def main() -> None:
     seq = generate_synthetic_sequence(spec)
     log(f"bench: generated {duration:.0f}s sequence in {time.perf_counter()-t0:.1f}s")
 
-    cfg = UslamConfig(solver=SolverConfig(max_iterations=50))
+    cfg = UslamConfig(solver=SolverConfig(max_iterations=50, plateau_patience=6))
     t0 = time.perf_counter()
     graph, initial, _odom, _ = pack_sequence(seq, cfg)
     ingest_s = time.perf_counter() - t0

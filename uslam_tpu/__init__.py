@@ -27,3 +27,21 @@ from uslam_tpu.config import (  # noqa: F401
     SolverConfig,
     UslamConfig,
 )
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax-heavy modules on
+    # bare `import uslam_tpu`).
+    if name in ("AUVSlam", "run_sequence", "SlamResult"):
+        from uslam_tpu import pipeline
+
+        return getattr(pipeline, name)
+    if name == "OnlineSlam":
+        from uslam_tpu.online import OnlineSlam
+
+        return OnlineSlam
+    if name == "FixedLagSmoother":
+        from uslam_tpu.solvers.fixed_lag import FixedLagSmoother
+
+        return FixedLagSmoother
+    raise AttributeError(name)

@@ -51,6 +51,11 @@ class ImuConfig:
     bias_acc_cov: float = 0.1   # isotropic variance, batch.py:189
     bias_gyro_cov: float = 0.1
     default_dt: float = 0.005   # 200 Hz assumed, batch.py:34,290
+    # 'fixed': every sample uses default_dt (reference behavior,
+    # batch.py:290 hard-codes 0.005 regardless of stamps);
+    # 'stamps': per-sample dt from the IMU timestamps (the correct physics,
+    # available because the loader keeps stamps — SURVEY.md §2.1).
+    dt_mode: str = "fixed"
     # Max IMU samples buffered between two keyframes (static-shape pad).
     # 200 Hz IMU at 5 Hz keyframes -> ~40; leave headroom.
     max_samples_per_keyframe: int = 64
@@ -155,6 +160,11 @@ class SolverConfig:
     # Sanitizer (SURVEY.md §5): raise on NaN/Inf inside the jitted solve —
     # JAX's jax_debug_nans, enabled around run_solver.
     debug_nans: bool = False
+    # Plateau stop: end LM after this many consecutive iterations without a
+    # meaningful (relative_error_tol) decrease — f32 LM oscillates
+    # accept/reject near its noise floor instead of meeting GTSAM's
+    # convergence test. 0 disables (strict GTSAM policy).
+    plateau_patience: int = 0
 
 
 @dataclass(frozen=True)

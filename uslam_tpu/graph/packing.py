@@ -117,7 +117,12 @@ def pack_sequence(
     sample_mask = (np.arange(S)[None, :] < counts[:, None]) if n > 1 else np.zeros((1, S), bool)
     acc = np.where(sample_mask[..., None], seq.imu_acc[idx], 0.0)
     gyro = np.where(sample_mask[..., None], seq.imu_gyro[idx], 0.0)
-    dts = np.where(sample_mask, cfg.imu.default_dt, 0.0)
+    if cfg.imu.dt_mode == "stamps" and len(seq.imu_t) > 1:
+        # dt of sample k = t[k+1] - t[k] (last sample gets the median rate).
+        step = np.diff(seq.imu_t, append=seq.imu_t[-1] + np.median(np.diff(seq.imu_t)))
+        dts = np.where(sample_mask, step[idx], 0.0)
+    else:
+        dts = np.where(sample_mask, cfg.imu.default_dt, 0.0)
     imu_mask = (counts > 0).astype(np.float64) if n > 1 else np.zeros(1)
 
     # --- DVL -------------------------------------------------------------

@@ -35,6 +35,7 @@ class LMState(NamedTuple):
     error: jnp.ndarray
     lam: jnp.ndarray
     iterations: jnp.ndarray
+    stall: jnp.ndarray     # consecutive iterations without meaningful decrease
     converged: jnp.ndarray
 
 
@@ -133,7 +134,13 @@ def optimize_lm(
         )
         # Lambda blow-up => stuck; stop.
         converged = converged | (lam > cfg.lambda_upper_bound)
-        return LMState(values, lin, error, lam, state.iterations + 1, converged)
+        # Plateau stop (optional): f32 LM can oscillate accept/reject with
+        # tiny decreases forever instead of meeting the GTSAM test.
+        meaningful = accept & (decrease > cfg.relative_error_tol * state.error)
+        stall = jnp.where(meaningful, 0, state.stall + 1)
+        if cfg.plateau_patience > 0:
+            converged = converged | (stall >= cfg.plateau_patience)
+        return LMState(values, lin, error, lam, state.iterations + 1, stall, converged)
 
     def cond(state: LMState):
         return (state.iterations < cfg.max_iterations) & (~state.converged)
@@ -145,6 +152,7 @@ def optimize_lm(
         error=init_error,
         lam=jnp.asarray(cfg.lambda_initial, init_error.dtype),
         iterations=jnp.asarray(0),
+        stall=jnp.asarray(0),
         converged=jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, step, state0)
