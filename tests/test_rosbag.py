@@ -1,0 +1,249 @@
+"""Rosbag v2.0 reader tests.
+
+Oracle: hand-rolled ROS1 wire-format serializers (little-endian, length-
+prefixed strings, var-length arrays with uint32 counts — the public
+serialization spec) for the exact message types the reference subscribes to
+(reference batch.py:319-326). Round-trips through write_bag/read_bag and
+the bag_to_sequence topic mapping, for both none and bz2 chunk compression.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from uslam_tpu.io.rosbag import BagTopics, MessageSchema, bag_to_sequence, read_bag, write_bag
+
+# --- wire-format serializers (test oracle) ----------------------------------
+
+
+def s_string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def s_header(t: float, frame: str = "") -> bytes:
+    secs = int(t)
+    nsecs = int(round((t - secs) * 1e9))
+    return struct.pack("<III", 7, secs, nsecs) + s_string(frame)
+
+
+def s_vec3(v) -> bytes:
+    return struct.pack("<3d", *v)
+
+
+def s_quat_xyzw(wxyz) -> bytes:
+    w, x, y, z = wxyz
+    return struct.pack("<4d", x, y, z, w)
+
+
+IMU_DEF = """\
+Header header
+geometry_msgs/Quaternion orientation
+float64[9] orientation_covariance
+geometry_msgs/Vector3 angular_velocity
+float64[9] angular_velocity_covariance
+geometry_msgs/Vector3 linear_acceleration
+float64[9] linear_acceleration_covariance
+================================================================================
+MSG: geometry_msgs/Quaternion
+float64 x
+float64 y
+float64 z
+float64 w
+================================================================================
+MSG: geometry_msgs/Vector3
+float64 x
+float64 y
+float64 z
+"""
+
+POSE_COV_DEF = """\
+Header header
+geometry_msgs/PoseWithCovariance pose
+================================================================================
+MSG: geometry_msgs/PoseWithCovariance
+geometry_msgs/Pose pose
+float64[36] covariance
+================================================================================
+MSG: geometry_msgs/Pose
+geometry_msgs/Point position
+geometry_msgs/Quaternion orientation
+================================================================================
+MSG: geometry_msgs/Point
+float64 x
+float64 y
+float64 z
+================================================================================
+MSG: geometry_msgs/Quaternion
+float64 x
+float64 y
+float64 z
+float64 w
+"""
+
+TWIST_DEF = """\
+Header header
+geometry_msgs/Twist twist
+================================================================================
+MSG: geometry_msgs/Twist
+geometry_msgs/Vector3 linear
+geometry_msgs/Vector3 angular
+================================================================================
+MSG: geometry_msgs/Vector3
+float64 x
+float64 y
+float64 z
+"""
+
+STRING_DEF = "string data\n"
+
+# The reference's feature message is a custom type (gtsam_vio/CameraMeasurement,
+# batch.py:29); its definition travels inside the bag, exercising the generic
+# schema compiler with a variable-length nested-message array.
+CAMERA_MEAS_DEF = """\
+Header header
+gtsam_vio/FeatureMeasurement[] features
+================================================================================
+MSG: gtsam_vio/FeatureMeasurement
+uint64 id
+float64 u0
+float64 v0
+float64 u1
+float64 v1
+"""
+
+
+def ser_imu(t, acc, gyro):
+    cov = struct.pack("<9d", *([0.0] * 9))
+    return (
+        s_header(t) + s_quat_xyzw((1, 0, 0, 0)) + cov
+        + s_vec3(gyro) + cov + s_vec3(acc) + cov
+    )
+
+
+def ser_pose_cov(t, quat_wxyz, pos):
+    cov = struct.pack("<36d", *([0.0] * 36))
+    return s_header(t) + s_vec3(pos) + s_quat_xyzw(quat_wxyz) + cov
+
+
+def ser_twist(t, vel):
+    return s_header(t) + s_vec3(vel) + s_vec3((0, 0, 0))
+
+
+def ser_pressure(t, mbar):
+    return s_string(json.dumps({"press_abs": mbar, "temperature": 21.0}))
+
+
+def ser_features(t, ids, u0, v0, u1, v1):
+    out = s_header(t) + struct.pack("<I", len(ids))
+    for i in range(len(ids)):
+        out += struct.pack("<Qdddd", ids[i], u0[i], v0[i], u1[i], v1[i])
+    return out
+
+
+def make_bag(path, compression="none"):
+    tp = BagTopics()
+    msgs = []
+    rng = np.random.default_rng(0)
+    imu = []
+    for k in range(40):
+        t = 0.05 + k * 0.005
+        acc = rng.normal(0, 1, 3)
+        gyro = rng.normal(0, 0.1, 3)
+        imu.append((t, acc, gyro))
+        msgs.append((tp.imu, "sensor_msgs/Imu", IMU_DEF, t, ser_imu(t, acc, gyro)))
+    press = [(0.04, 1100.0), (0.14, 1150.0)]
+    for t, mbar in press:
+        msgs.append((tp.pressure, "std_msgs/String", STRING_DEF, t, ser_pressure(t, mbar)))
+    poses = []
+    twists = []
+    feats = []
+    for k in range(2):
+        t = 0.05 + k * 0.2
+        q = np.array([1.0, 0, 0, 0])
+        p = np.array([0.1 * k, 0.0, -1.0])
+        v = np.array([0.5, 0.0, 0.0])
+        poses.append((t, q, p))
+        twists.append((t, v))
+        msgs.append((tp.dvl_pose, "geometry_msgs/PoseWithCovarianceStamped",
+                     POSE_COV_DEF, t, ser_pose_cov(t, q, p)))
+        msgs.append((tp.dvl_twist, "geometry_msgs/TwistStamped",
+                     TWIST_DEF, t, ser_twist(t, v)))
+        ids = np.array([3, 7, 11], np.uint64) + k
+        u0 = np.linspace(-0.5, 0.5, 3)
+        feats.append((t, ids, u0))
+        msgs.append((tp.features, "gtsam_vio/CameraMeasurement", CAMERA_MEAS_DEF,
+                     t, ser_features(t, ids, u0, u0 * 0.5, u0 - 0.05, u0 * 0.5)))
+    # An extra topic the reader must skip untouched.
+    msgs.append(("/rosout", "std_msgs/String", STRING_DEF, 0.0, s_string("noise")))
+    msgs.sort(key=lambda m: m[3])
+    write_bag(path, msgs, compression=compression)
+    return imu, press, poses, twists, feats
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_bag_roundtrip(tmp_path, compression):
+    path = str(tmp_path / "ref.bag")
+    imu, press, poses, twists, feats = make_bag(path, compression)
+
+    seq = bag_to_sequence(path)
+    assert len(seq.imu_t) == len(imu)
+    np.testing.assert_allclose(seq.imu_t, [t for t, _, _ in imu], atol=1e-9)
+    np.testing.assert_allclose(seq.imu_acc, np.stack([a for _, a, _ in imu]))
+    np.testing.assert_allclose(seq.imu_gyro, np.stack([g for _, _, g in imu]))
+    np.testing.assert_allclose(seq.pressure_mbar, [m for _, m in press])
+    np.testing.assert_allclose(seq.dvl_pose_quat, np.stack([q for _, q, _ in poses]))
+    np.testing.assert_allclose(seq.dvl_pose_pos, np.stack([p for _, _, p in poses]))
+    np.testing.assert_allclose(seq.dvl_twist_vel, np.stack([v for _, v in twists]))
+    assert len(seq.features) == len(feats)
+    for ff, (t, ids, u0) in zip(seq.features, feats):
+        assert ff.t == pytest.approx(t, abs=1e-9)
+        np.testing.assert_array_equal(ff.ids, ids.astype(np.int64))
+        np.testing.assert_allclose(ff.u0, u0)
+        np.testing.assert_allclose(ff.v1, u0 * 0.5)
+
+
+def test_read_bag_topic_filter(tmp_path):
+    path = str(tmp_path / "ref.bag")
+    make_bag(path)
+    seen = {m.topic for m in read_bag(path)}
+    assert "/rosout" in seen
+    only = {m.topic for m in read_bag(path, topics=["/dvl/twist"])}
+    assert only == {"/dvl/twist"}
+
+
+def test_schema_primitives_and_strings():
+    schema = MessageSchema(
+        "test/Mixed",
+        "uint8 flag\nint32 count\nstring name\nfloat32[] vals\nstring[2] tags\n",
+    )
+    payload = (
+        struct.pack("<Bi", 1, -7)
+        + s_string("abc")
+        + struct.pack("<I2f", 2, 1.5, -2.5)
+        + s_string("x") + s_string("yz")
+    )
+    msg = schema.deserialize(payload)
+    assert msg["flag"] == 1 and msg["count"] == -7 and msg["name"] == "abc"
+    np.testing.assert_allclose(msg["vals"], [1.5, -2.5])
+    assert msg["tags"] == ["x", "yz"]
+
+
+def test_bag_into_pipeline(tmp_path):
+    """Bag -> SensorSequence -> graph packing (the reference's full ingest
+    path, no ROS anywhere)."""
+    from uslam_tpu.config import UslamConfig
+    from uslam_tpu.graph.packing import pack_sequence
+
+    path = str(tmp_path / "ref.bag")
+    make_bag(path)
+    seq = bag_to_sequence(path)
+    graph, values, odom, _ = pack_sequence(seq, UslamConfig())
+    assert values.num_poses == 2
+    # keyframe z replaced by pressure depth (batch.py:133 semantics)
+    from uslam_tpu.factors.depth import pressure_to_depth
+
+    d0 = float(pressure_to_depth(1100.0, UslamConfig().pressure))
+    assert values.pose_trans[0, 2] == pytest.approx(d0, rel=1e-5)
