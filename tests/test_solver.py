@@ -76,10 +76,12 @@ class TestLinearSolvers:
         )
         assert not np.isnan(d_dense).any() and not np.isnan(d_schur).any()
         rel = np.linalg.norm(d_schur - d_dense) / max(np.linalg.norm(d_dense), 1e-9)
-        # Observed 0.03-0.06 depending on XLA fusion decisions (f32,
-        # moderately conditioned system) — structural agreement is what
-        # matters here; tight equivalence is covered at lambda=10 below.
-        assert rel < 0.08, rel
+        # f32 summation-order noise on a moderately conditioned system
+        # (observed 0.03-0.13 across assembly formulations) — structural
+        # agreement is what matters here; EXACT equivalence of the two
+        # elimination paths is proven in f64 by
+        # TestBandAssembly::test_schur_equals_dense_f64.
+        assert rel < 0.25, rel
 
     def test_cg_matches_cholesky(self):
         slam, graph, initial, _ = build_graph(duration=3.0)
@@ -103,6 +105,83 @@ class TestLinearSolvers:
         assert not np.isnan(d_chol).any() and not np.isnan(d_cg).any()
         rel = np.linalg.norm(d_cg - d_chol) / max(np.linalg.norm(d_chol), 1e-9)
         assert rel < 0.05, rel
+
+
+def _random_linearization(rng, n, m, K):
+    """Random but structurally consistent Linearization + StereoObservations
+    (masked entries zeroed, as linearize_graph guarantees)."""
+    from uslam_tpu.graph.builder import StereoObservations
+    from uslam_tpu.solvers.linearize import Linearization
+
+    F = m * K
+    cam_idx = rng.integers(1, n, F).astype(np.int32)
+    lm_idx = np.repeat(np.arange(m), K).astype(np.int32)
+    lm_obs_idx = np.arange(F, dtype=np.int32).reshape(m, K)
+    lm_obs_mask = np.ones((m, K))
+    mask = np.ones(F)
+    for f in (3, 11):  # exercise the padding path
+        mask[f] = 0.0
+        lm_obs_mask[f // K, f % K] = 0.0
+    r = lambda *s: jnp.asarray(rng.normal(0, 1, s))
+    lin = Linearization(
+        prior_pose_r=r(6), prior_pose_J=r(6, 6),
+        prior_vel_r=r(3), prior_vel_J=r(3, 3),
+        prior_bias_r=r(6), prior_bias_J=r(6, 6),
+        marg_r=r(15), marg_J=r(15, 15),
+        imu_r=r(n - 1, 9),
+        imu_J_pose_i=r(n - 1, 9, 6), imu_J_vel_i=r(n - 1, 9, 3),
+        imu_J_pose_j=r(n - 1, 9, 6), imu_J_vel_j=r(n - 1, 9, 3),
+        imu_J_bias=r(n - 1, 9, 6),
+        dvl_r=r(n, 3), dvl_J_pose=r(n, 3, 6), dvl_J_vel=r(n, 3, 3),
+        stereo_r=r(F, 3) * mask[:, None],
+        stereo_J_pose=r(F, 3, 6) * mask[:, None, None],
+        stereo_J_lm=r(F, 3, 3) * mask[:, None, None],
+    )
+    stereo = StereoObservations(
+        cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
+        meas=jnp.zeros((F, 3)), mask=jnp.asarray(mask),
+        lm_obs_idx=jnp.asarray(lm_obs_idx), lm_obs_mask=jnp.asarray(lm_obs_mask),
+    )
+    return lin, stereo
+
+
+class TestBandAssembly:
+    """The scatter-free band assembly (solvers/bands.py) must reproduce the
+    scatter-based dense assembly EXACTLY (same math, different ops) — checked
+    in f64 where there is no rounding slack to hide behind."""
+
+    def test_bands_equal_scatter_f64(self):
+        from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, POSE_DIM
+        from uslam_tpu.solvers.bands import assemble_cam_bands, expand_cam_dense
+        from uslam_tpu.solvers.dense import assemble_dense, scatter_H, scatter_g
+
+        with jax.enable_x64():
+            rng = np.random.default_rng(1)
+            n, m, K = 7, 5, 4
+            lin, stereo = _random_linearization(rng, n, m, K)
+            lam = 0.37
+            Dc = FRAME_DIM * n + BIAS_DIM
+            H_cc, g_c, _ = assemble_dense(lin, n, 0, pose_major=True)
+            p_off = POSE_DIM * stereo.cam_idx
+            Jp, r = lin.stereo_J_pose, lin.stereo_r
+            H_cc = scatter_H(H_cc, p_off, p_off, jnp.einsum("fda,fdb->fab", Jp, Jp))
+            g_c = scatter_g(g_c, p_off, -jnp.einsum("fda,fd->fa", Jp, r))
+            H_ref = H_cc + (lam + 1e-8) * jnp.eye(Dc, dtype=H_cc.dtype)
+            H_new, g_new = expand_cam_dense(assemble_cam_bands(lin, stereo, n, lam))
+            np.testing.assert_allclose(np.asarray(H_new), np.asarray(H_ref), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_c), atol=1e-12)
+
+    def test_schur_equals_dense_f64(self):
+        with jax.enable_x64():
+            rng = np.random.default_rng(2)
+            n, m, K = 7, 5, 4
+            lin, stereo = _random_linearization(rng, n, m, K)
+            lam = 0.37
+            H, g = assemble_dense_with_landmarks(lin, stereo.cam_idx, stereo.lm_idx, n, m)
+            d_dense = np.asarray(solve_dense_gn(H, g, lam))
+            d_schur = np.asarray(solve_schur(lin, stereo, n, m, lam))
+            rel = np.linalg.norm(d_schur - d_dense) / np.linalg.norm(d_dense)
+            assert rel < 1e-7, rel
 
 
 class TestLM:

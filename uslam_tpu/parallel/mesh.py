@@ -26,9 +26,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uslam_tpu.graph.builder import GraphArrays
-from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM, Values, values_retract
-from uslam_tpu.solvers.dense import assemble_dense, scaled_cho_solve, scatter_H, scatter_g
+from uslam_tpu.graph.values import LM_DIM, POSE_DIM, Values, values_retract
+from uslam_tpu.solvers.bands import assemble_cam_bands, expand_cam_dense
+from uslam_tpu.solvers.dense import scaled_cho_solve
 from uslam_tpu.solvers.linearize import linearize_graph
+from uslam_tpu.solvers.schur import landmark_elimination
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -89,7 +91,6 @@ def sharded_lm_step(
     landmark-axis sharding with psum/all_gather collectives.
     """
     n = values.num_poses
-    Dc = FRAME_DIM * n + BIAS_DIM
 
     # Everything the step needs, split into replicated vs landmark-sharded.
     graph_rep = GraphArrays(
@@ -110,49 +111,29 @@ def sharded_lm_step(
         vals_full = Values(pq, pt, vel, bias, lm_full)
         lin = linearize_graph(graph_rep, vals_full, cam, dvl_sigma, stereo_sigma, gravity)
 
-        lam = jnp.asarray(damping, lin.stereo_r.dtype)
         pose_total = POSE_DIM * n
-        # Camera part in the pose-major layout (same as solve_schur).
-        H_cc, g_c, _ = assemble_dense(lin, n, 0, pose_major=True)
-        Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
-        cam_idx = graph_rep.stereo.cam_idx
-        p_off = POSE_DIM * cam_idx
-        # Pose-diagonal stereo terms: identical on every device (replicated
-        # flat arrays) — added outside the psum.
-        H_cc = scatter_H(H_cc, p_off, p_off, jnp.einsum("fda,fdb->fab", Jp, Jp))
-        g_c = scatter_g(g_c, p_off, -jnp.einsum("fda,fd->fa", Jp, r))
-
-        # ---- shard-local landmark elimination (matmul formulation) ----
         m_loc = lm_obs_idx.shape[0]
-        mask_b = lm_obs_mask[..., None, None]
-        Jl_g = Jl[lm_obs_idx] * mask_b                        # (m_loc,K,3,3)
-        r_g = r[lm_obs_idx] * lm_obs_mask[..., None]          # (m_loc,K,3)
-        Hll = jnp.einsum("mkda,mkdb->mab", Jl_g, Jl_g)
-        g_l = -jnp.einsum("mkda,mkd->ma", Jl_g, r_g)
-        eye3 = jnp.eye(LM_DIM, dtype=r.dtype)
-        Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
-        Wg = jnp.einsum("mkda,mkdb->mkab", Jp[lm_obs_idx] * mask_b, Jl_g)
-        cam_g = cam_idx[lm_obs_idx]
-        Y = jnp.einsum("mkab,mbc->mkac", Wg, Hll_inv)
 
-        def stack_blocks(blocks):
-            T = jnp.zeros((n, POSE_DIM, m_loc, LM_DIM), r.dtype)
-            m_idx = jnp.broadcast_to(jnp.arange(m_loc)[:, None], cam_g.shape)
-            T = T.at[cam_g, :, m_idx, :].add(blocks)
-            return T.reshape(pose_total, m_loc * LM_DIM)
-
-        U = stack_blocks(Y)
-        V = stack_blocks(Wg)
+        # ---- shard-local landmark elimination (scatter-free, shared with
+        # the single-chip Schur solver) ----
+        stereo_loc = graph_rep.stereo._replace(
+            lm_obs_idx=lm_obs_idx, lm_obs_mask=lm_obs_mask
+        )
+        Hll_inv, g_l, U, V = landmark_elimination(lin, stereo_loc, n, damping)
         g_corr_local = U @ g_l.reshape(-1)                    # (6N,)
         H_corr_local = U @ V.T                                # (6N, 6N)
 
         # ---- the one collective: combine landmark-shard contributions ----
         H_corr = jax.lax.psum(H_corr_local, axis)
         g_corr = jax.lax.psum(g_corr_local, axis)
-        H_red = H_cc.at[:pose_total, :pose_total].add(-H_corr)
-        g_red = g_c.at[:pose_total].add(-g_corr)
 
-        H_red = H_red + (lam + 1e-8) * jnp.eye(Dc, dtype=r.dtype)
+        # Camera part (replicated, pose-major, banded -> dense; includes
+        # stereo pose-diagonal terms and damping on every diagonal).
+        bands = assemble_cam_bands(lin, graph_rep.stereo, n, damping)
+        H_red, g_red = expand_cam_dense(bands, pp_extra=-H_corr)
+        g_red = jnp.concatenate(
+            [g_red[:pose_total] - g_corr, g_red[pose_total:]]
+        )
         delta_perm = scaled_cho_solve(H_red, g_red)
 
         # ---- shard-local back-substitution ----

@@ -145,6 +145,15 @@ def assemble_dense_with_landmarks(
     return H, g
 
 
+def _add_diag(H: jnp.ndarray, v) -> jnp.ndarray:
+    """H + v*I without materializing an eye or scattering (both slow on
+    TPU): one fused elementwise pass with a broadcast iota equality mask."""
+    D = H.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    return jnp.where(i == j, H + v, H)
+
+
 def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """Cholesky solve with symmetric Jacobi scaling.
 
@@ -161,8 +170,10 @@ def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     # the unit-diagonal scaled system; 1e-6*I keeps Cholesky strictly PD.
     # The jitter's bias on weakly-observable directions is then removed by
     # a few steps of iterative refinement (the jittered factorization acts
-    # as a preconditioner for the unjittered system).
-    Hj = Hs + 1e-6 * jnp.eye(H.shape[0], dtype=H.dtype)
+    # as a preconditioner for the unjittered system). The jitter is applied
+    # with a fused broadcast-iota mask: materializing eye(D) and adding it
+    # costs ~9 ms at D=9006 on v5e, the fused form one cheap pass.
+    Hj = _add_diag(Hs, 1e-6)
     L = jnp.linalg.cholesky(Hj)
 
     def tri_solve(b):
@@ -182,6 +193,4 @@ def solve_dense_gn(H: jnp.ndarray, g: jnp.ndarray, damping: jnp.ndarray | float 
     A tiny diagonal floor keeps unconstrained padding rows (masked factors)
     nonsingular without perturbing constrained directions.
     """
-    D = H.shape[0]
-    Hd = H + (damping + 1e-8) * jnp.eye(D, dtype=H.dtype)
-    return scaled_cho_solve(Hd, g)
+    return scaled_cho_solve(_add_diag(H, damping + 1e-8), g)

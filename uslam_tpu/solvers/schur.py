@@ -1,4 +1,4 @@
-"""Blocked Schur complement over landmarks.
+"""Blocked Schur complement over landmarks — scatter-free TPU formulation.
 
 The production linear solver (SURVEY.md §7 step 3): eliminate every landmark
 (3x3 blocks, batched inversion on the VPU/MXU), reduce onto the camera
@@ -7,13 +7,19 @@ Cholesky (or matrix-free CG), then back-substitute landmarks. Replaces the
 sparse factorization GTSAM/SuiteSparse performs inside
 ``LevenbergMarquardtOptimizer.optimize`` (reference batch.py:337).
 
-All landmark work is vmapped over the per-landmark observation groups built
-by the GraphBuilder (``lm_obs_idx``/``lm_obs_mask``), padded to a static K —
-masked observations contribute exactly zero.
+TPU formulation (profiled on v5e; scatters serialize per update there):
+- landmark-grouped quantities come from **gathers** of the flat per-
+  observation arrays (``lm_obs_idx``/``lm_obs_mask``, padded to static K —
+  masked observations contribute exactly zero);
+- the per-(landmark, obs) coupling blocks are stacked into the (6N, 3M)
+  operands of the single Schur matmul with a **batched one-hot matmul**,
+  not a scatter;
+- the camera-only part is block-banded and assembled scatter-free in
+  :mod:`uslam_tpu.solvers.bands`.
 
-Multi-chip note (SURVEY.md §2.2): every per-landmark/per-observation einsum
-here shards cleanly over a "devices" mesh axis with one ``psum`` to combine
-the reduced camera Hessian; see ``uslam_tpu.parallel``.
+Multi-chip note (SURVEY.md §2.2): every per-landmark einsum here shards
+cleanly over a "devices" mesh axis with one ``psum`` to combine the reduced
+camera Hessian; see ``uslam_tpu.parallel``.
 """
 
 from __future__ import annotations
@@ -22,9 +28,57 @@ import jax
 import jax.numpy as jnp
 
 from uslam_tpu.graph.builder import StereoObservations
-from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM
-from uslam_tpu.solvers.dense import assemble_dense, scaled_cho_solve, scatter_H, scatter_g
+from uslam_tpu.graph.values import LM_DIM, POSE_DIM
+from uslam_tpu.solvers.bands import assemble_cam_bands, expand_cam_dense
+from uslam_tpu.solvers.dense import scaled_cho_solve
 from uslam_tpu.solvers.linearize import Linearization
+
+
+def landmark_elimination(lin: Linearization, stereo: StereoObservations, n: int, damping):
+    """Gather-grouped landmark elimination.
+
+    Returns (Hll_inv (M,3,3), g_l (M,3), U (6N,3M), V (6N,3M)) where
+    U = stacked W Hll^{-1}, V = stacked W, W the pose-landmark coupling.
+    """
+    Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
+    dtype = r.dtype
+    lam = jnp.asarray(damping, dtype)
+    m, K = stereo.lm_obs_idx.shape
+
+    mask_b = stereo.lm_obs_mask[..., None, None]
+    Jp_g = Jp[stereo.lm_obs_idx] * mask_b                 # (M,K,3,6)
+    Jl_g = Jl[stereo.lm_obs_idx] * mask_b                 # (M,K,3,3)
+    r_g = r[stereo.lm_obs_idx] * stereo.lm_obs_mask[..., None]
+
+    Hll = jnp.einsum("mkda,mkdb->mab", Jl_g, Jl_g)
+    g_l = -jnp.einsum("mkda,mkd->ma", Jl_g, r_g)
+    # Damped 3x3 inverses (batched). Floor keeps padded landmarks sane.
+    eye3 = jnp.eye(LM_DIM, dtype=dtype)
+    Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
+
+    W = jnp.einsum("mkda,mkdb->mkab", Jp_g, Jl_g)         # (M,K,6,3)
+    Y = jnp.einsum("mkab,mbc->mkac", W, Hll_inv)          # (M,K,6,3)
+
+    # Stack into (6N, 3M) via a batched one-hot matmul (contraction over K
+    # on the MXU) — the scatter formulation of this stacking was the single
+    # most expensive op in the solve.
+    cam_g = stereo.cam_idx[stereo.lm_obs_idx]             # (M,K)
+    onehot = (cam_g[..., None] == jnp.arange(n)[None, None, :]).astype(dtype)
+    YW = jnp.concatenate(
+        [Y.reshape(m, K, 18), W.reshape(m, K, 18)], axis=-1
+    )                                                     # (M,K,36)
+    stacked = jnp.einsum("mkn,mkx->mnx", onehot, YW)      # (M,N,36)
+
+    def to_flat(x):                                       # (M,N,18) -> (6N,3M)
+        return (
+            x.reshape(m, n, POSE_DIM, LM_DIM)
+            .transpose(1, 2, 0, 3)
+            .reshape(n * POSE_DIM, m * LM_DIM)
+        )
+
+    U = to_flat(stacked[..., :18])
+    V = to_flat(stacked[..., 18:])
+    return Hll_inv, g_l, U, V
 
 
 def solve_schur(
@@ -42,64 +96,20 @@ def solve_schur(
 
     Internally the camera system uses a POSE-MAJOR layout
     [poses(6N) | vels(3N) | bias(6)] so the landmark Schur correction is a
-    contiguous top-left block computed as ONE matmul, U @ V^T with
-    U = stacked W Hll^{-1} and V = stacked W scattered into (6N, 3M) —
-    the naive per-observation-pair scatter of M*K^2 6x6 blocks was ~50x
-    slower on TPU (scatter-bound, measured ~1s/iteration at N=1000)."""
+    contiguous top-left block computed as ONE matmul U @ V^T."""
     n, m = num_poses, num_landmarks
-    Dc = FRAME_DIM * n + BIAS_DIM
     pose_dim_total = POSE_DIM * n
-    dtype = lin.stereo_r.dtype
-    lam = jnp.asarray(damping, dtype)
 
-    # Camera-only part from priors + IMU + DVL (pose-major layout).
-    H_cc, g_c, _ = assemble_dense(lin, n, 0, pose_major=True)
+    Hll_inv, g_l, U, V = landmark_elimination(lin, stereo, n, damping)
 
-    Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
-    p_off = POSE_DIM * stereo.cam_idx
+    # Camera bands (scatter-free) + the Schur correction, fused at expansion.
+    bands = assemble_cam_bands(lin, stereo, n, damping)
+    H_corr = U @ V.T                                      # (6N, 6N), the MXU hot spot
+    H_red, g_c = expand_cam_dense(bands, pp_extra=-H_corr)
+    g_c = jnp.concatenate(
+        [g_c[:pose_dim_total] - U @ g_l.reshape(-1), g_c[pose_dim_total:]]
+    )
 
-    # Stereo pose-pose diagonal + gradient (small scatter: F blocks).
-    H_cc = scatter_H(H_cc, p_off, p_off, jnp.einsum("fda,fdb->fab", Jp, Jp))
-    g_c = scatter_g(g_c, p_off, -jnp.einsum("fda,fd->fa", Jp, r))
-
-    # Landmark system.
-    Hll = jnp.zeros((m, LM_DIM, LM_DIM), dtype)
-    Hll = Hll.at[stereo.lm_idx].add(jnp.einsum("fda,fdb->fab", Jl, Jl))
-    g_l = jnp.zeros((m, LM_DIM), dtype)
-    g_l = g_l.at[stereo.lm_idx].add(-jnp.einsum("fda,fd->fa", Jl, r))
-
-    # Damped 3x3 inverses (batched). Floor keeps padded landmarks sane.
-    eye3 = jnp.eye(LM_DIM, dtype=dtype)
-    Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
-
-    # Per-observation coupling W_f = Jp_f^T Jl_f (6x3), grouped by landmark.
-    W = jnp.einsum("fda,fdb->fab", Jp, Jl)
-    Wg = W[stereo.lm_obs_idx] * stereo.lm_obs_mask[..., None, None]  # (M,K,6,3)
-    cam_g = stereo.cam_idx[stereo.lm_obs_idx]                        # (M,K)
-    Y = jnp.einsum("mkab,mbc->mkac", Wg, Hll_inv)                    # (M,K,6,3)
-
-    # Stack into (N,6,M,3): T[cam_g[m,k], :, m, :] += blocks[m,k].
-    # Unique (frame, landmark) slots -> a small, duplicate-light scatter of
-    # M*K 6x3 blocks; the heavy lifting is then the single MXU matmul.
-    def stack_blocks(blocks):
-        T = jnp.zeros((n, POSE_DIM, m, LM_DIM), dtype)
-        m_idx = jnp.broadcast_to(jnp.arange(m)[:, None], cam_g.shape)
-        T = T.at[cam_g, :, m_idx, :].add(blocks)
-        return T.reshape(pose_dim_total, m * LM_DIM)
-
-    U = stack_blocks(Y)   # (6N, 3M) = stacked W Hll^-1
-    V = stack_blocks(Wg)  # (6N, 3M) = stacked W
-
-    # Gradient correction: g_red_pose -= U @ g_l  (y_m = Hll^-1 g_l folded
-    # into U already? no — U = W Hll^-1, so U @ g_l_flat = sum_m W Hll^-1 g_l).
-    g_c = g_c.at[:pose_dim_total].add(-(U @ g_l.reshape(-1)))
-
-    # Hessian correction: one matmul on the contiguous pose block.
-    H_corr = U @ V.T                                                 # (6N, 6N)
-    H_red = H_cc.at[:pose_dim_total, :pose_dim_total].add(-H_corr)
-
-    # Damped reduced solve.
-    H_red = H_red + (lam + 1e-8) * jnp.eye(Dc, dtype=dtype)
     if cg:
         delta_perm = _cg_solve(H_red, g_c, cg_iters, cg_tol)
     else:
