@@ -65,7 +65,13 @@ def main() -> None:
     seq = generate_synthetic_sequence(spec)
     log(f"bench: generated {duration:.0f}s sequence in {time.perf_counter()-t0:.1f}s")
 
-    cfg = UslamConfig(solver=SolverConfig(max_iterations=50, plateau_patience=6))
+    cfg = UslamConfig(
+        solver=SolverConfig(
+            max_iterations=int(os.environ.get("BENCH_MAX_ITERS", "50")),
+            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "6")),
+            relative_error_tol=float(os.environ.get("BENCH_RTOL", "1e-5")),
+        )
+    )
     t0 = time.perf_counter()
     graph, initial, _odom, _ = pack_sequence(seq, cfg)
     ingest_s = time.perf_counter() - t0

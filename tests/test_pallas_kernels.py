@@ -65,3 +65,37 @@ def test_extract_orb_pallas_path_matches():
     np.testing.assert_array_equal(np.asarray(k_x.mask), np.asarray(k_p.mask))
     np.testing.assert_array_equal(np.asarray(k_x.xy), np.asarray(k_p.xy))
     np.testing.assert_array_equal(np.asarray(k_x.desc), np.asarray(k_p.desc))
+
+
+def test_fast_harris_batched_and_vmap():
+    """(B, H, W) batched grid == vmap over single images == single calls.
+
+    extract_orb_batch vmaps the whole extraction; the custom_vmap rule must
+    route that through the natively batched (batch, tile) grid instead of
+    trying to batch the pallas_call (Mosaic rejects batched ANY operands)."""
+    import jax
+
+    base = jnp.asarray(textured_image(96, 256))
+    imgs = jnp.stack([base, base[::-1, ::-1]])
+    cb, hb = fast_harris_pallas(imgs, 10.0, interpret=True)
+    cv, hv = jax.vmap(lambda im: fast_harris_pallas(im, 10.0, interpret=True))(imgs)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cv))
+    np.testing.assert_allclose(np.asarray(hb), np.asarray(hv))
+    for b in range(2):
+        c1, h1 = fast_harris_pallas(imgs[b], 10.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(cb[b]), np.asarray(c1))
+        np.testing.assert_allclose(np.asarray(hb[b]), np.asarray(h1))
+
+
+def test_extract_orb_batch_pallas_matches():
+    """The production batched stereo extraction with use_pallas on."""
+    import jax.numpy as jnp
+    from uslam_tpu.config import FrontendConfig
+    from uslam_tpu.frontend.orb import extract_orb_batch
+
+    pair = jnp.stack([jnp.asarray(textured_image(128, 256))] * 2)
+    k_x = extract_orb_batch(pair, FrontendConfig(pyramid_levels=1))
+    k_p = extract_orb_batch(pair, FrontendConfig(pyramid_levels=1, use_pallas=True))
+    np.testing.assert_array_equal(np.asarray(k_x.mask), np.asarray(k_p.mask))
+    np.testing.assert_array_equal(np.asarray(k_x.xy), np.asarray(k_p.xy))
+    np.testing.assert_array_equal(np.asarray(k_x.desc), np.asarray(k_p.desc))

@@ -40,6 +40,13 @@ def main():
 
     xla_fn = jax.jit(lambda im: (fast_corners(im, 10.0), harris_response(im)))
     pl_fn = jax.jit(lambda im: fast_harris_pallas(im, 10.0))
+    # correctness on this backend (interior; borders differ by design)
+    cx, hx = jax.block_until_ready(xla_fn(img))
+    cp, hp = jax.block_until_ready(pl_fn(img))
+    inner = np.s_[8:-8, 8:-8]
+    ok_c = bool(np.array_equal(np.asarray(cp != 0)[inner], np.asarray(cx)[inner]))
+    ok_h = bool(np.allclose(np.asarray(hp)[inner], np.asarray(hx)[inner], rtol=1e-3, atol=1e-1))
+    print(f"  correctness vs XLA: corners={'OK' if ok_c else 'MISMATCH'} harris={'OK' if ok_h else 'MISMATCH'}")
     timeit(xla_fn, img, name="FAST+Harris XLA @1080p")
     timeit(pl_fn, img, name="FAST+Harris Pallas @1080p")
 

@@ -120,9 +120,12 @@ class FrontendConfig:
     # Static shapes: features kept per frame = grid_rows*grid_cols*per_cell
     # rounded up; candidate pool size before grid top-K.
     max_candidates: int = 1024
-    # Use the fused Pallas TPU kernels (frontend/pallas_kernels.py) for
-    # detection and matching instead of the pure-XLA paths.
-    use_pallas: bool = False
+    # Fused Pallas TPU kernels (frontend/pallas_kernels.py) for detection
+    # and matching instead of the pure-XLA paths. "auto" (default) enables
+    # them whenever the backend is a real TPU (profiled faster there and
+    # bit-exact vs the XLA oracle) and falls back to XLA elsewhere —
+    # interpret-mode Pallas on CPU is orders of magnitude slower.
+    use_pallas: bool | str = "auto"
     # Temporal association: 'orb' (descriptor matching, the north-star
     # design) or 'klt' (pyramidal Lucas-Kanade prediction + nearest
     # detection, the reference nodelet's method — stereo.launch:41-43).

@@ -24,6 +24,7 @@ import numpy as np
 
 from uslam_tpu.config import FrontendConfig
 from uslam_tpu.frontend.fast import fast_corners, harris_response, nms3
+from uslam_tpu.frontend.pallas_kernels import resolve_pallas
 from uslam_tpu.frontend.pyramid import box_blur, build_pyramid
 
 # --- rBRIEF sampling pattern (fixed, deterministic) -----------------------
@@ -164,9 +165,10 @@ def _extract_orb_impl(img: jnp.ndarray, cfg: FrontendConfig) -> Keypoints:
     K_cell = cfg.max_features_per_cell
     rows, cols = cfg.grid_rows, cfg.grid_cols
 
+    use_pallas = resolve_pallas(cfg.use_pallas)
     for lvl, im in enumerate(levels):
         h, w = im.shape
-        if cfg.use_pallas:
+        if use_pallas:
             from uslam_tpu.frontend.pallas_kernels import fast_harris_pallas
 
             corner_i, harris = fast_harris_pallas(im, cfg.fast_threshold)

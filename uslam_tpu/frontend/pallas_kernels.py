@@ -30,6 +30,15 @@ from uslam_tpu.frontend.fast import FAST_RING
 _HALO = 3  # FAST ring radius; also covers Sobel(1) + part of Harris window
 
 
+def resolve_pallas(flag) -> bool:
+    """Resolve FrontendConfig.use_pallas: "auto" -> True iff the default
+    backend is a real TPU (kernels profiled faster there; interpret-mode
+    Pallas on CPU is orders of magnitude slower than the XLA paths)."""
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
 def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
     """SWAR popcount on uint32 (works on any substrate, incl. Mosaic)."""
     v = v - ((v >> 1) & jnp.uint32(0x55555555))
@@ -56,16 +65,18 @@ def _hroll(x: jnp.ndarray, dx: int) -> jnp.ndarray:
 
 
 def _fast_harris_kernel(img_hbm, corner_ref, harris_ref, *, threshold, tile_h, k):
-    """One row tile. The full padded image stays in HBM/ANY; the tile plus a
-    +-_OFF row halo is DMA'd into a VMEM slab (overlapping windows are not
-    expressible with blocked BlockSpecs), then every stage runs from VMEM."""
-    i = pl.program_id(0)
-    W = img_hbm.shape[1]
+    """One (batch, row-tile) grid cell. The full padded image batch stays in
+    HBM/ANY; the tile plus a +-_OFF row halo is DMA'd into a VMEM slab
+    (overlapping windows are not expressible with blocked BlockSpecs), then
+    every stage runs from VMEM."""
+    batch_id = pl.program_id(0)
+    tile_id = pl.program_id(1)
+    W = img_hbm.shape[2]
     slab_h = tile_h + 2 * _OFF
 
     def body(slab_ref, sem):
         dma = pltpu.make_async_copy(
-            img_hbm.at[pl.ds(i * tile_h, slab_h), :], slab_ref, sem
+            img_hbm.at[batch_id, pl.ds(tile_id * tile_h, slab_h), :], slab_ref, sem
         )
         dma.start()
         dma.wait()
@@ -93,7 +104,7 @@ def _fast_harris_kernel(img_hbm, corner_ref, harris_ref, *, threshold, tile_h, k
             r8 = r4 & (r4 >> 4)
             return ((r8 & (x >> 8)) & 0xFFFF) != 0
 
-        corner_ref[:] = (arc9(bright) | arc9(dark)).astype(jnp.int32)
+        corner_ref[0] = (arc9(bright) | arc9(dark)).astype(jnp.int32)
 
         # Sobel gradients over the (tile_h + 6)-row band the 7x7 Harris
         # window reaches, then separable box sums.
@@ -128,7 +139,7 @@ def _fast_harris_kernel(img_hbm, corner_ref, harris_ref, *, threshold, tile_h, k
         sxx, syy, sxy = box7(xx), box7(yy), box7(xy)
         det = sxx * syy - sxy * sxy
         tr = sxx + syy
-        harris_ref[:] = det - k * tr * tr
+        harris_ref[0] = det - k * tr * tr
 
     pl.run_scoped(
         body,
@@ -137,47 +148,78 @@ def _fast_harris_kernel(img_hbm, corner_ref, harris_ref, *, threshold, tile_h, k
     )
 
 
-def fast_harris_pallas(
-    img: jnp.ndarray, threshold: float, k: float = 0.04, tile_h: int = 64,
-    interpret: bool | None = None,
-):
-    """Fused FAST-9 corner mask + Harris response.
-
-    Returns (corner int32 (H, W), harris f32 (H, W)); caller applies the
-    3px interior mask exactly like :func:`fast.fast_corners`.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    h, w = img.shape
+def _fast_harris_batched(imgs: jnp.ndarray, threshold: float, k: float,
+                         tile_h: int, interpret: bool):
+    """(B, H, W) -> (corner (B, H, W) int32, harris (B, H, W) f32) with a
+    (batch, row-tile) grid — ONE pallas_call for a whole image batch (the
+    stereo pair / frame window), so the batched extraction path never
+    vmaps over a pallas_call (Mosaic can't batch an ANY-space operand)."""
+    nb, h, w = imgs.shape
     tile_h = min(tile_h, max(8, h))
     pad_h = (-h) % tile_h
     # Mosaic requires HBM slice widths aligned to the 128-lane tiling.
     pad_w = (-w) % 128
     # Top/bottom halo + tile alignment; edge-replicated values only reach
     # pixels the interior mask discards anyway.
-    img_p = jnp.pad(img, ((_OFF, _OFF + pad_h), (0, pad_w)), mode="edge")
+    img_p = jnp.pad(imgs, ((0, 0), (_OFF, _OFF + pad_h), (0, pad_w)), mode="edge")
     n_tiles = (h + pad_h) // tile_h
-    w = w + pad_w
+    wp = w + pad_w
 
     kernel = functools.partial(
         _fast_harris_kernel, threshold=threshold, tile_h=tile_h, k=k
     )
     corner, harris = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(nb, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h + pad_h, w), jnp.int32),
-            jax.ShapeDtypeStruct((h + pad_h, w), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h + pad_h, wp), jnp.int32),
+            jax.ShapeDtypeStruct((nb, h + pad_h, wp), jnp.float32),
         ),
         interpret=interpret,
     )(img_p)
-    w0 = w - pad_w
-    return corner[:h, :w0], harris[:h, :w0]
+    return corner[:, :h, :w], harris[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_harris_fn(threshold: float, k: float, tile_h: int, interpret: bool):
+    """Single-image entry with a custom vmap rule: ``jax.vmap`` over it
+    (e.g. extract_orb_batch's stereo pair) dispatches to the natively
+    batched grid instead of trying to batch the pallas_call itself."""
+
+    def single(img):
+        c, hr = _fast_harris_batched(img[None], threshold, k, tile_h, interpret)
+        return c[0], hr[0]
+
+    cv = jax.custom_batching.custom_vmap(single)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, imgs):  # noqa: ANN001
+        out = _fast_harris_batched(imgs, threshold, k, tile_h, interpret)
+        return out, (True, True)
+
+    return cv
+
+
+def fast_harris_pallas(
+    img: jnp.ndarray, threshold: float, k: float = 0.04, tile_h: int = 64,
+    interpret: bool | None = None,
+):
+    """Fused FAST-9 corner mask + Harris response.
+
+    Accepts (H, W) or a batch (B, H, W). Returns (corner int32, harris f32)
+    matching the input rank; caller applies the 3px interior mask exactly
+    like :func:`fast.fast_corners`. vmap-safe (custom batching rule).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if img.ndim == 3:
+        return _fast_harris_batched(img, float(threshold), k, tile_h, bool(interpret))
+    return _fast_harris_fn(float(threshold), float(k), int(tile_h), bool(interpret))(img)
 
 
 # --------------------------------------------------------------------------

@@ -22,6 +22,7 @@ import numpy as np
 from uslam_tpu.config import CameraConfig, FrontendConfig
 from uslam_tpu.frontend.match import match_descriptors, stereo_match
 from uslam_tpu.frontend.orb import Keypoints, extract_orb
+from uslam_tpu.frontend.pallas_kernels import resolve_pallas
 from uslam_tpu.io.sequence import FeatureFrame
 
 
@@ -115,7 +116,7 @@ class StereoFrontend:
             ratio=cfg.match_ratio,
             max_v_diff=cfg.stereo_max_v_diff,
             min_disparity=cfg.stereo_min_disparity,
-            use_pallas=cfg.use_pallas,
+            use_pallas=resolve_pallas(cfg.use_pallas),
         )
 
         # Temporal association on the left image for persistent ids.
@@ -131,7 +132,7 @@ class StereoFrontend:
                 tm = match_descriptors(
                     kp_l.desc, kp_l.mask, self._prev.desc, self._prev.mask,
                     max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
-                    use_pallas=cfg.use_pallas,
+                    use_pallas=resolve_pallas(cfg.use_pallas),
                 )
                 flow = kp_l.xy - self._prev.xy[jnp.maximum(tm.idx, 0)]
                 inlier = ransac_translation(
