@@ -68,7 +68,7 @@ def main() -> None:
     cfg = UslamConfig(
         solver=SolverConfig(
             max_iterations=int(os.environ.get("BENCH_MAX_ITERS", "50")),
-            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "6")),
+            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "3")),
             relative_error_tol=float(os.environ.get("BENCH_RTOL", "1e-5")),
         )
     )

@@ -247,3 +247,28 @@ def test_bag_into_pipeline(tmp_path):
 
     d0 = float(pressure_to_depth(1100.0, UslamConfig().pressure))
     assert values.pose_trans[0, 2] == pytest.approx(d0, rel=1e-5)
+
+
+def test_native_matches_python(tmp_path):
+    """The C++ scan/decode path must be byte-equivalent to the Python reader."""
+    from uslam_tpu import native
+
+    if not native.bag_available():
+        pytest.skip("native toolchain unavailable")
+    path = str(tmp_path / "ref.bag")
+    make_bag(path, "bz2")
+    py = bag_to_sequence(path, use_native=False)
+    nat = bag_to_sequence(path, use_native=True)
+    for name in (
+        "imu_t imu_acc imu_gyro pressure_t pressure_mbar dvl_pose_t "
+        "dvl_pose_quat dvl_pose_pos dvl_twist_t dvl_twist_vel"
+    ).split():
+        np.testing.assert_array_equal(
+            getattr(py, name), getattr(nat, name), err_msg=name
+        )
+    assert len(py.features) == len(nat.features)
+    for a, b in zip(py.features, nat.features):
+        assert a.t == b.t
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.u0, b.u0)
+        np.testing.assert_array_equal(a.v1, b.v1)

@@ -400,6 +400,7 @@ def bag_to_sequence(
     path: str,
     topics: BagTopics | None = None,
     decode_images: bool = False,
+    use_native: bool = True,
 ) -> SensorSequence:
     """Read a reference-style bag into a :class:`SensorSequence`.
 
@@ -411,8 +412,19 @@ def bag_to_sequence(
     - feature tracks id/u0/v0/u1/v1 in normalized coords (batch.py:144-176).
     Timestamps use the message header stamp when present, falling back to
     the bag receive time (the reference's synchronizer keys on the same).
+
+    ``use_native``: route the record scan and the fixed-layout streams
+    (IMU / DVL pose / DVL twist — the high-rate ones) through the C++
+    parser (native/bagparse.cpp) when the toolchain is available;
+    byte-equivalent to this Python path (tested), ~an order of magnitude
+    faster on hour-scale bags.
     """
     tp = topics or BagTopics()
+    if use_native and not (decode_images and tp.image_left):
+        from uslam_tpu import native
+
+        if native.bag_available():
+            return _bag_to_sequence_native(path, tp)
     want = [tp.imu, tp.pressure, tp.dvl_pose, tp.dvl_twist, tp.features]
     if decode_images and tp.image_left and tp.image_right:
         want += [tp.image_left, tp.image_right]
@@ -498,6 +510,178 @@ def bag_to_sequence(
     )
 
 
+# --- native fast path ---------------------------------------------------------
+
+# (opcode, arg) programs for the fixed-layout standard types, executed by
+# native/bagparse.cpp::bag_decode_fixed. Ops: 0 skip bytes, 1 skip string,
+# 2 read time -> 1 double, 3 read N float64. Layouts follow the public ROS
+# message definitions (header seq + stamp + frame_id, then fields in order).
+_FIXED_PROGRAMS = {
+    # -> [stamp, quat xyzw(4), gyro(3), acc(3)]
+    "sensor_msgs/Imu": (
+        [(0, 4), (2, 0), (1, 0), (3, 4), (0, 72), (3, 3), (0, 72), (3, 3), (0, 72)],
+        11,
+    ),
+    # -> [stamp, pos(3), quat xyzw(4)]
+    "geometry_msgs/PoseWithCovarianceStamped": (
+        [(0, 4), (2, 0), (1, 0), (3, 7), (0, 288)],
+        8,
+    ),
+    # -> [stamp, linear(3), angular(3)]
+    "geometry_msgs/TwistStamped": ([(0, 4), (2, 0), (1, 0), (3, 6)], 7),
+}
+
+
+def _bag_to_sequence_native(path: str, tp: BagTopics) -> SensorSequence:
+    """C++-scanned variant of :func:`bag_to_sequence` (no image decode)."""
+    from uslam_tpu import native
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a rosbag v2.0 file")
+        whole = np.frombuffer(f.read(), np.uint8)
+
+    want = {t for t in (tp.imu, tp.pressure, tp.dvl_pose, tp.dvl_twist, tp.features) if t}
+    conns: dict[int, _Connection | None] = {}
+    buffers: list[np.ndarray] = []
+
+    def handle_conn(buf, h_off, h_len, d_off, d_len, conn_id):
+        if conn_id in conns:
+            return
+        hdr = _parse_fields(bytes(buf[h_off : h_off + h_len]))
+        chdr = _parse_fields(bytes(buf[d_off : d_off + d_len]))
+        topic = chdr.get("topic", hdr.get("topic", b"")).decode()
+        tname = chdr["type"].decode()
+        if topic not in want:
+            conns[conn_id] = None
+            return
+        # Fixed-layout streams skip schema compilation entirely.
+        schema = (
+            None
+            if tname in _FIXED_PROGRAMS
+            else MessageSchema(tname, chdr.get("message_definition", b"").decode())
+        )
+        conns[conn_id] = _Connection(topic, tname, schema)
+
+    # Per scanned buffer: (bidx, cids, times, d_off, d_len) message arrays —
+    # kept vectorized; a Python loop only touches the few non-message records.
+    per_buf: list[tuple] = []
+
+    def scan(buf: np.ndarray, bidx: int):
+        ops, cids, times, h_off, h_len, d_off, d_len = native.bag_scan_records(buf)
+        for j in np.nonzero(ops != OP_MESSAGE)[0]:
+            op = ops[j]
+            if op == OP_CONNECTION:
+                handle_conn(buf, int(h_off[j]), int(h_len[j]), int(d_off[j]),
+                            int(d_len[j]), int(cids[j]))
+            elif op == OP_CHUNK:
+                hdr = _parse_fields(bytes(buf[h_off[j] : h_off[j] + h_len[j]]))
+                comp = hdr.get("compression", b"none").decode()
+                if comp in ("none", ""):
+                    inner = buf[d_off[j] : d_off[j] + d_len[j]]  # zero-copy view
+                else:
+                    inner = np.frombuffer(
+                        _decompress(bytes(buf[d_off[j] : d_off[j] + d_len[j]]), comp),
+                        np.uint8,
+                    )
+                buffers.append(inner)
+                scan(inner, len(buffers) - 1)
+        mm = ops == OP_MESSAGE
+        if mm.any():
+            per_buf.append((bidx, cids[mm], times[mm], d_off[mm], d_len[mm]))
+
+    buffers.append(whole)
+    scan(whole, 0)
+
+    def _msg_locations(cid_set: set):
+        """Vectorized: per buffer, the (offs, lens, times) of cids in the set."""
+        out = []
+        for bidx, cids, times, offs, lens in per_buf:
+            m = np.isin(cids, list(cid_set))
+            if m.any():
+                out.append((bidx, offs[m], lens[m], times[m]))
+        return out
+
+    def stream(topic: str):
+        """Concatenated (columns, rec_times) for a fixed-layout topic."""
+        rows, rts = [], []
+        by_type: dict[str, set] = {}
+        for cid, conn in conns.items():
+            if conn is not None and conn.topic == topic:
+                by_type.setdefault(conn.type, set()).add(cid)
+        for tname, cid_set in by_type.items():
+            prog, out_w = _FIXED_PROGRAMS[tname]
+            for bidx, offs, lens, times in _msg_locations(cid_set):
+                out, n_ok = native.bag_decode_fixed(buffers[bidx], offs, lens, prog, out_w)
+                rows.append(out[:n_ok])
+                rts.append(times[:n_ok])
+        if not rows:
+            return np.zeros((0, 1)), np.zeros(0)
+        return np.concatenate(rows), np.concatenate(rts)
+
+    def with_stamp_fallback(cols, rts):
+        t = cols[:, 0].copy()
+        t[t <= 0.0] = rts[t <= 0.0]
+        return t
+
+    imu, imu_rt = stream(tp.imu)
+    pose, pose_rt = stream(tp.dvl_pose)
+    twist, twist_rt = stream(tp.dvl_twist)
+
+    # Generic (schema-decoded) low-rate streams: pressure JSON + features.
+    pr_t, pr_mbar = [], []
+    features: list[FeatureFrame] = []
+    for cid, conn in conns.items():
+        if conn is None or conn.schema is None:
+            continue
+        for bidx, offs, lens, times in _msg_locations({cid}):
+            for off, ln, rt in zip(offs, lens, times):
+                payload = bytes(buffers[bidx][off : off + ln])
+                msg = conn.schema.deserialize(payload)
+                hdr = msg.get("header")
+                t = hdr["stamp"] if isinstance(hdr, dict) and hdr.get("stamp", 0.0) > 0 else float(rt)
+                if conn.topic == tp.pressure:
+                    try:
+                        mbar = json.loads(msg["data"])["press_abs"]
+                    except (ValueError, KeyError, TypeError):
+                        continue
+                    pr_t.append(t)
+                    pr_mbar.append(float(mbar))
+                elif conn.topic == tp.features:
+                    feats = msg.get("features", [])
+                    features.append(
+                        FeatureFrame(
+                            t=t,
+                            ids=np.array([f["id"] for f in feats], np.int64),
+                            u0=np.array([f["u0"] for f in feats]),
+                            v0=np.array([f["v0"] for f in feats]),
+                            u1=np.array([f["u1"] for f in feats]),
+                            v1=np.array([f["v1"] for f in feats]),
+                        )
+                    )
+
+    def arr(x, shape1=None):
+        a = np.asarray(x, np.float64)
+        return a if a.size else np.zeros((0,) + (shape1 or ()), np.float64)
+
+    # Column order from _FIXED_PROGRAMS: Imu [t,qxyzw,gyro,acc];
+    # pose [t,pos,qxyzw]; twist [t,linear,angular]. Quats -> wxyz.
+    return SensorSequence(
+        imu_t=with_stamp_fallback(imu, imu_rt) if len(imu) else np.zeros(0),
+        imu_acc=imu[:, 8:11] if len(imu) else np.zeros((0, 3)),
+        imu_gyro=imu[:, 5:8] if len(imu) else np.zeros((0, 3)),
+        pressure_t=arr(pr_t),
+        pressure_mbar=arr(pr_mbar),
+        dvl_pose_t=with_stamp_fallback(pose, pose_rt) if len(pose) else np.zeros(0),
+        dvl_pose_quat=pose[:, [7, 4, 5, 6]] if len(pose) else np.zeros((0, 4)),
+        dvl_pose_pos=pose[:, 1:4] if len(pose) else np.zeros((0, 3)),
+        dvl_twist_t=with_stamp_fallback(twist, twist_rt) if len(twist) else np.zeros(0),
+        dvl_twist_vel=twist[:, 1:4] if len(twist) else np.zeros((0, 3)),
+        features=features,
+    )
+
+
 # --- minimal writer (tests / export) ----------------------------------------
 
 
@@ -513,7 +697,7 @@ def write_bag(
     no index records are written (rosbag CLI would want a reindex).
     """
     conn_ids: dict[str, int] = {}
-    chunk = b""
+    parts: list[bytes] = []
 
     def record(header: dict, data: bytes) -> bytes:
         h = _encode_fields(header)
@@ -531,20 +715,25 @@ def write_bag(
                     "message_definition": mdef.encode(),
                 }
             )
-            chunk += record(
-                {"op": bytes([OP_CONNECTION]),
-                 "conn": struct.pack("<I", cid),
-                 "topic": topic.encode()},
-                chdr,
+            parts.append(
+                record(
+                    {"op": bytes([OP_CONNECTION]),
+                     "conn": struct.pack("<I", cid),
+                     "topic": topic.encode()},
+                    chdr,
+                )
             )
         secs = int(t)
         nsecs = int(round((t - secs) * 1e9))
-        chunk += record(
-            {"op": bytes([OP_MESSAGE]),
-             "conn": struct.pack("<I", conn_ids[topic]),
-             "time": struct.pack("<II", secs, nsecs)},
-            payload,
+        parts.append(
+            record(
+                {"op": bytes([OP_MESSAGE]),
+                 "conn": struct.pack("<I", conn_ids[topic]),
+                 "time": struct.pack("<II", secs, nsecs)},
+                payload,
+            )
         )
+    chunk = b"".join(parts)
 
     with open(path, "wb") as f:
         f.write(_MAGIC)

@@ -20,9 +20,13 @@ import numpy as np
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "ingest.cpp")
 _SO = os.path.join(_HERE, "libuslam_ingest.so")
+_BAG_SRC = os.path.join(_HERE, "bagparse.cpp")
+_BAG_SO = os.path.join(_HERE, "libuslam_bagparse.so")
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
+_BAG_LIB = None
+_BAG_TRIED = False
 
 
 def _load():
@@ -61,6 +65,89 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def _load_bag():
+    global _BAG_LIB, _BAG_TRIED
+    with _LOCK:
+        if _BAG_LIB is not None or _BAG_TRIED:
+            return _BAG_LIB
+        _BAG_TRIED = True
+        try:
+            if not os.path.exists(_BAG_SO) or os.path.getmtime(_BAG_SO) < os.path.getmtime(_BAG_SRC):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", _BAG_SRC, "-o", _BAG_SO],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_BAG_SO)
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.bag_scan_records.restype = ctypes.c_int64
+            lib.bag_scan_records.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                i64p, i64p, f64p, i64p, i64p, i64p, i64p,
+            ]
+            lib.bag_decode_fixed.restype = ctypes.c_int64
+            lib.bag_decode_fixed.argtypes = [
+                u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+                i64p, ctypes.c_int64, ctypes.c_int64, f64p,
+            ]
+            _BAG_LIB = lib
+        except Exception:  # toolchain missing / build failure -> fallback
+            _BAG_LIB = None
+        return _BAG_LIB
+
+
+def bag_available() -> bool:
+    return _load_bag() is not None
+
+
+def bag_scan_records(buf: np.ndarray):
+    """Scan rosbag records in a contiguous uint8 buffer.
+
+    Returns (ops, conns, times, h_off, h_len, d_off, d_len) int64/f64 arrays
+    (offsets relative to ``buf``), or None when the native lib is missing.
+    """
+    lib = _load_bag()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    # Records are >= 17 bytes (two length words + minimal op header + data);
+    # cap generously.
+    cap = max(len(buf) // 17, 16)
+    ops = np.empty(cap, np.int64)
+    conns = np.empty(cap, np.int64)
+    times = np.empty(cap, np.float64)
+    h_off = np.empty(cap, np.int64)
+    h_len = np.empty(cap, np.int64)
+    d_off = np.empty(cap, np.int64)
+    d_len = np.empty(cap, np.int64)
+    n = lib.bag_scan_records(
+        buf, len(buf), cap, ops, conns, times, h_off, h_len, d_off, d_len
+    )
+    sl = slice(0, n)
+    return (ops[sl], conns[sl], times[sl], h_off[sl], h_len[sl], d_off[sl], d_len[sl])
+
+
+def bag_decode_fixed(buf: np.ndarray, offs, lens, prog, out_w: int):
+    """Decode fixed-layout messages with the (opcode, arg) op program.
+
+    Returns (out (n, out_w) float64, n_decoded); None if lib missing.
+    """
+    lib = _load_bag()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    prog = np.ascontiguousarray(np.asarray(prog, np.int64).reshape(-1))
+    out = np.zeros((len(offs), out_w), np.float64)
+    n = lib.bag_decode_fixed(
+        buf, len(buf), offs, lens, len(offs), prog, len(prog) // 2, out_w, out
+    )
+    return out, int(n)
 
 
 def approx_time_join(pivot_t, other_ts, slop: float):
