@@ -38,7 +38,9 @@ def main() -> None:
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/uslam_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # Low threshold: ingest-side programs compile in <1s each but add up
+        # to ~1.7s per run when not served from the cache.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     except Exception:
         pass
 

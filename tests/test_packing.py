@@ -33,3 +33,43 @@ def test_pack_matches_builder_path():
         atol=2e-2,
     )
     np.testing.assert_allclose(r_fast.odom_compare, r_slow.odom_compare, atol=1e-9)
+
+
+def test_numpy_whitener_matches_jit():
+    """The vectorized f64 numpy whitener (production ingest path) must match
+    the jitted preintegrate_with_cov + whitener_from_cov oracle."""
+    import numpy as np
+
+    from uslam_tpu.config import UslamConfig
+    from uslam_tpu.factors.imu import ImuIntervalData
+    from uslam_tpu.graph.builder import _whitener_fn, _whiteners_numpy
+
+    rng = np.random.default_rng(0)
+    F, S = 6, 16
+    acc = rng.normal(0, 2, (F, S, 3))
+    gyro = rng.normal(0, 0.5, (F, S, 3))
+    dt = np.full((F, S), 0.005)
+    # padding tails + a fully padded interval (mask-0 case)
+    for i in range(F):
+        k = rng.integers(3, S)
+        acc[i, k:] = 0.0
+        gyro[i, k:] = 0.0
+        dt[i, k:] = 0.0
+    acc[3], gyro[3], dt[3] = 0.0, 0.0, 0.0
+
+    data32 = ImuIntervalData(
+        acc=np.asarray(acc, np.float32),
+        gyro=np.asarray(gyro, np.float32),
+        dt=np.asarray(dt, np.float32),
+    )
+    cfg = UslamConfig()
+    ref = np.asarray(
+        _whitener_fn(cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov)(
+            data32
+        )
+    )
+    ours = _whiteners_numpy(
+        ImuIntervalData(acc=acc, gyro=gyro, dt=dt),
+        cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov,
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3 * np.abs(ref).max())

@@ -87,6 +87,39 @@ def main():
         )
         timeit(solve_fn, lin, name="solve_schur (full)")
 
+        # --- new scatter-free internals ---
+        from uslam_tpu.solvers.bands import assemble_cam_bands, expand_cam_dense
+        from uslam_tpu.solvers.schur import landmark_elimination
+        from uslam_tpu.solvers.linearize import graph_error
+        from uslam_tpu.graph.values import values_retract
+
+        elim_fn = jax.jit(lambda l: landmark_elimination(l, graph.stereo, n, 1e-5))
+        Hll_inv, g_l, U, V = jax.block_until_ready(elim_fn(lin))
+        timeit(elim_fn, lin, name="landmark_elimination (gather+onehot)")
+
+        bands_fn = jax.jit(lambda l: assemble_cam_bands(l, graph.stereo, n, 1e-5))
+        bands = jax.block_until_ready(bands_fn(lin))
+        timeit(bands_fn, lin, name="assemble_cam_bands")
+
+        corr_fn = jax.jit(lambda U, V: U @ V.T)
+        Hc = jax.block_until_ready(corr_fn(U, V))
+        timeit(corr_fn, U, V, name="H_corr = U @ V.T")
+
+        exp_fn = jax.jit(lambda b, Hc: expand_cam_dense(b, pp_extra=-Hc))
+        timeit(exp_fn, bands, Hc, name="expand_cam_dense (+concat)")
+
+        err_fn = jax.jit(
+            lambda v: graph_error(
+                graph, v, cam=cam, dvl_sigma=cfg.noise.dvl_sigma,
+                stereo_sigma=cfg.noise.stereo_sigma, gravity=cfg.imu.gravity,
+            )
+        )
+        timeit(err_fn, initial, name="graph_error (per-iter eval)")
+
+        delta = jnp.zeros(9 * n + 6 + 3 * m, jnp.float32)
+        ret_fn = jax.jit(values_retract)
+        timeit(ret_fn, initial, delta, name="values_retract")
+
         # --- assembly-only: replicate schur.py up to H_red/g_c ---
         stereo = graph.stereo
         LM_DIM = 3

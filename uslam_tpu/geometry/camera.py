@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from uslam_tpu.config import CameraConfig
 from uslam_tpu.geometry.se3 import Pose3, pose_transform_point, pose_transform_point_inverse
@@ -91,6 +92,46 @@ def triangulate_stereo(
     """
     p_cam = stereo_backproject(cam, meas)
     return pose_transform_point(cam_pose_world, p_cam)
+
+
+def quat_to_matrix_np(q: np.ndarray) -> np.ndarray:
+    """(…, 4) wxyz -> (…, 3, 3), plain numpy (ingest-time host math)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def triangulate_stereo_np(cam_cfg, quats, trans, meas) -> np.ndarray:
+    """Vectorized numpy :func:`triangulate_stereo` over (F,) measurements.
+
+    The ingest path is host-side work; keeping it in numpy avoids paying an
+    XLA compile per process (this host's CPU compile cache doesn't reload)
+    or a TPU-tunnel round trip. Same math as the jit version (tested).
+    ``cam_cfg``: CameraConfig; quats (F, 4) wxyz; trans (F, 3); meas (F, 3).
+    """
+    meas = np.asarray(meas, np.float64)
+    uL, uR, v = meas[..., 0], meas[..., 1], meas[..., 2]
+    d = np.maximum(np.abs(uR - uL), 1e-6)
+    W = d / cam_cfg.baseline
+    p_cam = np.stack(
+        [
+            (uL - cam_cfg.cx) / W,
+            (v - cam_cfg.cy) / W,
+            (0.5 * (cam_cfg.fx + cam_cfg.fy)) / W,
+        ],
+        axis=-1,
+    )
+    R = quat_to_matrix_np(np.asarray(quats, np.float64))
+    return np.einsum("...ij,...j->...i", R, p_cam) + np.asarray(trans, np.float64)
 
 
 def normalized_to_pixels(

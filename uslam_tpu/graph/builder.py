@@ -17,6 +17,7 @@ Replication notes (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -293,29 +294,121 @@ class GraphBuilder:
         return dict(self._lm_rows)
 
 
-def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> jnp.ndarray:
-    """Preintegration covariance at zero bias -> whitening, vmapped over
-    intervals. Fixed at linearization like GTSAM's
-    PreintegratedImuMeasurements (reference batch.py:289-293).
+def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> np.ndarray:
+    """Preintegration covariance at zero bias -> whitening, over intervals.
+    Fixed at linearization like GTSAM's PreintegratedImuMeasurements
+    (reference batch.py:289-293).
 
-    Always computed on the CPU backend: it is a one-off tiny computation and
-    compiling the covariance scan for the TPU (through this environment's
-    high-latency tunnel) costs minutes for zero benefit."""
+    Vectorized float64 numpy (loop over the <=S samples, all intervals at
+    once): ingest-time host work with ZERO XLA involvement — the jitted
+    variant recompiled ~1s per process (this host's CPU AOT cache doesn't
+    reload) and cost ~2s dispatched through the TPU tunnel. Equivalence
+    with the jit oracle (_whitener_fn) is tested."""
+    return _whiteners_numpy(
+        data, cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov
+    )
 
+
+def _np_hat(w: np.ndarray) -> np.ndarray:
+    """(F, 3) -> (F, 3, 3) skew-symmetric."""
+    F = w.shape[0]
+    H = np.zeros((F, 3, 3))
+    H[:, 0, 1], H[:, 0, 2] = -w[:, 2], w[:, 1]
+    H[:, 1, 0], H[:, 1, 2] = w[:, 2], -w[:, 0]
+    H[:, 2, 0], H[:, 2, 1] = -w[:, 1], w[:, 0]
+    return H
+
+
+def _np_exp_and_left_jacobian(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batched Rodrigues Exp(w) and SO(3) left Jacobian Jl(w), f64 numpy."""
+    th2 = np.sum(w * w, axis=1)
+    th = np.sqrt(th2)
+    small = th < 1e-8
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.where(small, 1.0 - th2 / 6.0, np.sin(th) / np.where(small, 1.0, th))
+        c = np.where(small, 0.5 - th2 / 24.0, (1.0 - np.cos(th)) / np.where(small, 1.0, th2))
+        j2 = np.where(
+            small, 1.0 / 6.0 - th2 / 120.0,
+            (th - np.sin(th)) / np.where(small, 1.0, th2 * th),
+        )
+    H = _np_hat(w)
+    H2 = H @ H
+    eye = np.broadcast_to(np.eye(3), H.shape)
+    R = eye + s[:, None, None] * H + c[:, None, None] * H2
+    Jl = eye + c[:, None, None] * H + j2[:, None, None] * H2
+    return R, Jl
+
+
+def _whiteners_numpy(
+    data: ImuIntervalData, accel_cov: float, gyro_cov: float, integration_cov: float
+) -> np.ndarray:
+    """The covariance recursion of factors.imu.preintegrate_with_cov
+    (Forster TRO'17 eq. 62-63, GTSAM continuous-time noise semantics) at
+    zero bias, vectorized over intervals in f64; returns inv(chol(P))."""
+    acc = np.asarray(data.acc, np.float64)
+    gyro = np.asarray(data.gyro, np.float64)
+    dts = np.asarray(data.dt, np.float64)
+    F, S, _ = acc.shape
+    eye3 = np.broadcast_to(np.eye(3), (F, 3, 3))
+    R = np.tile(np.eye(3), (F, 1, 1))
+    P = np.zeros((F, 9, 9))
+    for k in range(S):
+        a, w, h = acc[:, k], gyro[:, k], dts[:, k]
+        active = h > 0.0
+        if not active.any():
+            continue
+        hs = h[:, None, None]
+        dR, Jl_neg = _np_exp_and_left_jacobian(-w * h[:, None])
+        # Exp(wdt) = dR^T (since dR = Exp(-wdt)); Jr(wdt) = Jl(-wdt).
+        Rh = _np_hat(a) * hs
+        A = np.zeros((F, 9, 9))
+        A[:, 0:3, 0:3] = dR                      # Exp(wdt)^T
+        A[:, 3:6, 0:3] = -R @ Rh
+        A[:, 3:6, 3:6] = np.eye(3)
+        A[:, 6:9, 0:3] = -0.5 * (R @ Rh) * hs
+        A[:, 6:9, 3:6] = eye3 * hs
+        A[:, 6:9, 6:9] = np.eye(3)
+
+        G_g = Jl_neg * hs
+        G_av = R * hs
+        G_ap = 0.5 * R * hs * hs
+        with np.errstate(divide="ignore"):
+            inv_h = np.where(active, 1.0 / np.maximum(h, 1e-9), 0.0)[:, None, None]
+        Q = np.zeros((F, 9, 9))
+        Q[:, 0:3, 0:3] = gyro_cov * inv_h * (G_g @ G_g.transpose(0, 2, 1))
+        Q[:, 3:6, 3:6] = accel_cov * inv_h * (G_av @ G_av.transpose(0, 2, 1))
+        Q[:, 3:6, 6:9] = accel_cov * inv_h * (G_av @ G_ap.transpose(0, 2, 1))
+        Q[:, 6:9, 3:6] = Q[:, 3:6, 6:9].transpose(0, 2, 1)
+        Q[:, 6:9, 6:9] = (
+            accel_cov * inv_h * (G_ap @ G_ap.transpose(0, 2, 1))
+            + integration_cov * hs * np.eye(3)
+        )
+
+        P_new = A @ P @ A.transpose(0, 2, 1) + Q
+        m = active[:, None, None]
+        P = np.where(m, P_new, P)
+        # R_{k+1} = R_k @ Exp(wdt); Exp(wdt) = Exp(-wdt)^T = dR^T.
+        R = np.where(m, R @ dR.transpose(0, 2, 1), R)
+
+    L = np.linalg.cholesky(P + 1e-10 * np.eye(9))
+    return np.linalg.solve(L, np.broadcast_to(np.eye(9), L.shape))
+
+
+@functools.lru_cache(maxsize=None)
+def _whitener_fn(accel_cov: float, gyro_cov: float, integration_cov: float):
+    """Module-cached jit of the whitener computation: a fresh closure per
+    pack call caused a ~1s XLA recompile on EVERY ingest (profiled)."""
+
+    @jax.jit
     def run(d):
-        def one(interval):
-            _, P = preintegrate_with_cov(
-                interval,
-                jnp.zeros(6, d.acc.dtype),
-                cfg.imu.accel_cov,
-                cfg.imu.gyro_cov,
-                cfg.imu.integration_cov,
-            )
-            return whitener_from_cov(P, jitter=1e-10)
+        with jax.default_matmul_precision("highest"):
+            def one(interval):
+                _, P = preintegrate_with_cov(
+                    interval, jnp.zeros(6, d.acc.dtype),
+                    accel_cov, gyro_cov, integration_cov,
+                )
+                return whitener_from_cov(P, jitter=1e-10)
 
-        return jax.vmap(one)(d)
+            return jax.vmap(one)(d)
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        d_cpu = jax.device_put(data, cpu)
-        return np.asarray(jax.jit(run)(d_cpu))
+    return run

@@ -21,8 +21,7 @@ import numpy as np
 from uslam_tpu.config import UslamConfig
 from uslam_tpu.factors.depth import pressure_to_depth
 from uslam_tpu.factors.imu import ImuIntervalData
-from uslam_tpu.geometry.camera import StereoCamera, triangulate_stereo
-from uslam_tpu.geometry.se3 import Pose3
+from uslam_tpu.geometry.camera import triangulate_stereo_np
 from uslam_tpu.graph.builder import (
     DvlMeasurements,
     GraphArrays,
@@ -169,25 +168,17 @@ def pack_sequence(
     m = len(uniq)
 
     # Landmark init: triangulate the FIRST observation at its keyframe pose.
-    # Jitted AND pinned to the CPU backend: ingest-time compute is tiny, and
-    # dispatching it op-by-op through this environment's TPU tunnel costs
-    # minutes (measured; see CLAUDE.md).
+    # Plain vectorized numpy — ingest is host-side work, and any XLA route
+    # costs a per-process compile (this host's CPU AOT cache doesn't
+    # reload) or a TPU-tunnel round trip (both measured slower; CLAUDE.md).
     if m:
         f0 = first_pos
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            meas0 = jnp.asarray(np.stack([uL[f0], uR[f0], vv[f0]], -1), dtype)
-            q0 = jnp.asarray(quats[frame_idx[f0]], dtype)
-            t0 = jnp.asarray(trans[frame_idx[f0]], dtype)
-            cam_cpu = StereoCamera.from_config(cfg.camera, dtype)
-            lm_init = np.asarray(
-                jax.jit(
-                    jax.vmap(
-                        lambda q, t, mm: triangulate_stereo(cam_cpu, Pose3(q, t), mm)
-                    )
-                )(q0, t0, meas0),
-                np.float64,
-            )
+        lm_init = triangulate_stereo_np(
+            cfg.camera,
+            quats[frame_idx[f0]],
+            trans[frame_idx[f0]],
+            np.stack([uL[f0], uR[f0], vv[f0]], -1),
+        )
     else:
         lm_init = np.zeros((0, 3))
 

@@ -39,7 +39,7 @@ from uslam_tpu.eval.graphviz import save_graph_dot as _save_dot
 from uslam_tpu.eval.metrics import ate_rmse, mse_reference_compat, trajectory_from_values
 from uslam_tpu.eval.plot import plot_trajectory_3d
 from uslam_tpu.factors.depth import pressure_to_depth
-from uslam_tpu.geometry.camera import StereoCamera, triangulate_stereo
+from uslam_tpu.geometry.camera import StereoCamera, triangulate_stereo_np
 from uslam_tpu.geometry.se3 import Pose3
 from uslam_tpu.graph.builder import GraphArrays, GraphBuilder
 from uslam_tpu.graph.values import Values
@@ -49,12 +49,6 @@ from uslam_tpu.solvers.lm import LMStats, optimize_lm
 from uslam_tpu.utils.logging import get_logger
 
 log = get_logger("pipeline")
-
-
-@jax.jit
-def _triangulate_batch(cam, pose_quat, pose_trans, meas):
-    pose = Pose3(pose_quat, pose_trans)
-    return jax.vmap(lambda m: triangulate_stereo(cam, pose, m))(meas)
 
 
 @dataclass
@@ -123,19 +117,14 @@ class AUVSlam:
         uL = (u0 + 1.0) * 0.5 * cfg.resolution_x
         uR = (u1 + 1.0) * 0.5 * cfg.resolution_x
         v = ((v0 + v1) / 2.0 + 1.0) * 0.5 * cfg.resolution_y
-        # CPU-pinned + jitted: per-keyframe host-side triangulation must not
-        # dispatch op-by-op through the TPU tunnel (see CLAUDE.md).
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            meas = jnp.asarray(np.stack([uL, uR, v], axis=-1), jnp.float32)
-            world = np.asarray(
-                _triangulate_batch(
-                    jax.device_put(self.cam, cpu),
-                    jnp.asarray(pose_quat, jnp.float32),
-                    jnp.asarray(pose_trans, jnp.float32),
-                    meas,
-                )
-            )
+        # Plain numpy: per-keyframe host-side triangulation must not pay an
+        # XLA compile or a TPU-tunnel dispatch (see CLAUDE.md).
+        world = triangulate_stereo_np(
+            self.config.camera,
+            np.asarray(pose_quat, np.float64),
+            np.asarray(pose_trans, np.float64),
+            np.stack([uL, uR, v], axis=-1),
+        ).astype(np.float32)
         return [
             (int(ids[k]), float(uL[k]), float(uR[k]), float(v[k]), world[k])
             for k in range(len(ids))
