@@ -33,13 +33,39 @@ import numpy as np
 from uslam_tpu.config import UslamConfig
 from uslam_tpu.geometry.camera import StereoCamera
 from uslam_tpu.graph.builder import GraphBuilder
-from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, POSE_DIM, Values
+from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, Values
 from uslam_tpu.pipeline import run_solver
 from uslam_tpu.solvers.dense import assemble_dense_with_landmarks
 from uslam_tpu.solvers.linearize import linearize_graph
 from uslam_tpu.utils.logging import get_logger
 
 log = get_logger("fixed_lag")
+
+
+@jax.jit
+def _marginal_information(graph, values: Values, cam, dvl_sigma, stereo_sigma, gravity):
+    """Linearize the window, assemble the dense Hessian, Schur-eliminate
+    the departing frame's 9 dof, and return the 15x15 marginal information
+    on [new-oldest pose (6), vel (3), bias (6)]."""
+    lin = linearize_graph(graph, values, cam, dvl_sigma, stereo_sigma, gravity)
+    H, _ = assemble_dense_with_landmarks(
+        lin, graph.stereo.cam_idx, graph.stereo.lm_idx,
+        values.num_poses, values.num_landmarks,
+    )
+    n = values.num_poses
+    bias_off = FRAME_DIM * n
+    F = FRAME_DIM
+    H00 = H[:F, :F] + 1e-9 * jnp.eye(F, dtype=H.dtype)
+    Hr0 = H[F:, :F]
+    H_marg = H[F:, F:] - Hr0 @ jnp.linalg.solve(H00, Hr0.T)
+    # Block for [new frame 0 (9), bias (6)], indices shifted down by the
+    # eliminated 9.
+    top = H_marg[:F]
+    bias_rows = H_marg[bias_off - F : bias_off - F + BIAS_DIM]
+    cols = lambda M: jnp.concatenate(  # noqa: E731
+        [M[:, :F], M[:, bias_off - F : bias_off - F + BIAS_DIM]], axis=1
+    )
+    return jnp.concatenate([cols(top), cols(bias_rows)], axis=0)
 
 
 @dataclass
@@ -164,31 +190,16 @@ class FixedLagSmoother:
         """Schur-eliminate the departing frame from the dense window Hessian
         and store the marginal on [new-oldest pose, vel, bias]."""
         cfg = self.config
-        lin = linearize_graph(
-            graph, values, self.cam,
-            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+        # ONE compiled program (shape-cached): linearize + dense assembly +
+        # frame-0 elimination dispatched eagerly cost hundreds of tunnel
+        # round trips per keyframe on TPU backends.
+        Lam = np.asarray(
+            _marginal_information(
+                graph, values, self.cam,
+                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+            ),
+            np.float64,
         )
-        H, gvec = assemble_dense_with_landmarks(
-            lin, graph.stereo.cam_idx, graph.stereo.lm_idx,
-            values.num_poses, values.num_landmarks,
-        )
-        H = np.asarray(H, np.float64)
-        n = values.num_poses
-        bias_off = FRAME_DIM * n
-
-        # Eliminate frame 0 (9 dof).
-        a = slice(0, FRAME_DIM)
-        H00 = H[a, a] + 1e-9 * np.eye(FRAME_DIM)
-        Hr0 = np.delete(H[:, a], np.arange(FRAME_DIM), axis=0)
-        Hrr = np.delete(np.delete(H, np.arange(FRAME_DIM), 0), np.arange(FRAME_DIM), 1)
-        H_marg = Hrr - Hr0 @ np.linalg.solve(H00, Hr0.T)
-
-        # Select the block for [new frame 0 (9), bias (6)] (indices shifted
-        # down by the eliminated 9).
-        idx = np.concatenate(
-            [np.arange(0, FRAME_DIM), np.arange(bias_off - FRAME_DIM, bias_off - FRAME_DIM + BIAS_DIM)]
-        )
-        Lam = H_marg[np.ix_(idx, idx)]
         # PSD-project (sparsification can leave tiny negative eigs).
         w, V = np.linalg.eigh((Lam + Lam.T) / 2.0)
         w = np.clip(w, 0.0, None)
