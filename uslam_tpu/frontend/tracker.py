@@ -15,6 +15,8 @@ host-side Python (inherently sequential, trivial cost).
 
 from __future__ import annotations
 
+from functools import partial as _partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,6 +54,40 @@ def ransac_translation(
     best = jnp.argmax(support)
     ok = jnp.any(mask)
     return jnp.where(ok, inlier[best] & mask, mask)
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _orb_pair_step(left, right, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig):
+    """One stereo pair, fully device-side, ONE compiled program:
+    batched ORB extraction -> stereo match -> temporal descriptor match vs
+    the previous left frame -> translation-RANSAC. Returns
+    (kp_left, kp_right, stereo idx, stereo mask, temporal idx or -1);
+    an all-false ``prev_mask`` (first frame) yields temporal idx -1
+    everywhere, so one program covers both cases."""
+    from uslam_tpu.frontend.orb import extract_orb_batch
+
+    kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)
+    kp_l = jax.tree.map(lambda a: a[0], kp_pair)
+    kp_r = jax.tree.map(lambda a: a[1], kp_pair)
+    up = resolve_pallas(cfg.use_pallas)
+    sm = stereo_match(
+        kp_l.desc, kp_l.xy, kp_l.mask,
+        kp_r.desc, kp_r.xy, kp_r.mask,
+        max_distance=cfg.match_max_distance,
+        ratio=cfg.match_ratio,
+        max_v_diff=cfg.stereo_max_v_diff,
+        min_disparity=cfg.stereo_min_disparity,
+        use_pallas=up,
+    )
+    tm = match_descriptors(
+        kp_l.desc, kp_l.mask, prev_desc, prev_mask,
+        max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
+        use_pallas=up,
+    )
+    flow = kp_l.xy - prev_xy[jnp.maximum(tm.idx, 0)]
+    inlier = ransac_translation(flow, tm.mask, threshold=cfg.ransac_threshold_px)
+    tm_idx = jnp.where(inlier, tm.idx, -1)
+    return kp_l, kp_r, sm.idx, sm.mask, tm_idx
 
 
 class StereoFrontend:
@@ -102,51 +138,58 @@ class StereoFrontend:
         left = jnp.asarray(left, jnp.float32)
         right = jnp.asarray(right, jnp.float32)
 
-        # Both images of the pair in ONE compiled call (dispatch latency is
-        # the dominant per-frame cost on high-latency device links).
-        from uslam_tpu.frontend.orb import extract_orb_batch
+        if cfg.temporal_tracker == "klt":
+            from uslam_tpu.frontend.orb import extract_orb_batch
 
-        kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)
-        kp_l = jax.tree.map(lambda a: a[0], kp_pair)
-        kp_r = jax.tree.map(lambda a: a[1], kp_pair)
-        sm = stereo_match(
-            kp_l.desc, kp_l.xy, kp_l.mask,
-            kp_r.desc, kp_r.xy, kp_r.mask,
-            max_distance=cfg.match_max_distance,
-            ratio=cfg.match_ratio,
-            max_v_diff=cfg.stereo_max_v_diff,
-            min_disparity=cfg.stereo_min_disparity,
-            use_pallas=resolve_pallas(cfg.use_pallas),
-        )
-
-        # Temporal association on the left image for persistent ids.
-        if self._prev is not None:
-            if cfg.temporal_tracker == "klt":
+            kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)
+            kp_l = jax.tree.map(lambda a: a[0], kp_pair)
+            kp_r = jax.tree.map(lambda a: a[1], kp_pair)
+            sm = stereo_match(
+                kp_l.desc, kp_l.xy, kp_l.mask,
+                kp_r.desc, kp_r.xy, kp_r.mask,
+                max_distance=cfg.match_max_distance,
+                ratio=cfg.match_ratio,
+                max_v_diff=cfg.stereo_max_v_diff,
+                min_disparity=cfg.stereo_min_disparity,
+                use_pallas=resolve_pallas(cfg.use_pallas),
+            )
+            if self._prev is not None:
                 tm_idx_j, tm_mask = self._associate_klt(left, kp_l)
                 flow = kp_l.xy - self._prev.xy[jnp.maximum(tm_idx_j, 0)]
                 inlier = ransac_translation(
                     flow, tm_mask, threshold=cfg.ransac_threshold_px
                 )
-                tm_idx = np.asarray(jnp.where(inlier, tm_idx_j, -1))
+                tm_idx_d = jnp.where(inlier, tm_idx_j, -1)
             else:
-                tm = match_descriptors(
-                    kp_l.desc, kp_l.mask, self._prev.desc, self._prev.mask,
-                    max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
-                    use_pallas=resolve_pallas(cfg.use_pallas),
-                )
-                flow = kp_l.xy - self._prev.xy[jnp.maximum(tm.idx, 0)]
-                inlier = ransac_translation(
-                    flow, tm.mask, threshold=cfg.ransac_threshold_px
-                )
-                tm_idx = np.asarray(jnp.where(inlier, tm.idx, -1))
+                tm_idx_d = jnp.full(kp_l.mask.shape, -1, jnp.int32)
+            sm_idx_d, sm_mask_d = sm.idx, sm.mask
         else:
-            tm_idx = np.full(int(kp_l.mask.shape[0]), -1, np.int64)
+            # Default ORB temporal association: the ENTIRE per-pair device
+            # pipeline (extract both images, stereo match, temporal match,
+            # RANSAC) is one compiled program, and everything the host needs
+            # comes back in one device_get — per-frame dispatch/readback
+            # round trips dominate latency on high-latency device links.
+            K = cfg.max_features
+            if self._prev is None:
+                prev_desc = jnp.zeros((K, 8), jnp.uint32)
+                prev_xy = jnp.zeros((K, 2), jnp.float32)
+                prev_mask = jnp.zeros((K,), bool)
+            else:
+                prev_desc, prev_xy, prev_mask = (
+                    self._prev.desc, self._prev.xy, self._prev.mask,
+                )
+            kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_pair_step(
+                left, right, prev_desc, prev_xy, prev_mask, cfg
+            )
+
+        tm_idx, stereo_ok, sm_idx_np, xy_l_all, xy_r_raw = jax.device_get(
+            (tm_idx_d, sm_mask_d, sm_idx_d, kp_l.xy, kp_r.xy)
+        )
 
         # Host-side id interning: tracked keypoints inherit the previous id,
         # fresh stereo-matched keypoints get new ids.
         k = int(kp_l.mask.shape[0])
         ids = np.full(k, -1, np.int64)
-        stereo_ok = np.asarray(sm.mask)
         for i in range(k):
             if not stereo_ok[i]:
                 continue
@@ -163,8 +206,8 @@ class StereoFrontend:
 
         # Output contract: normalized [-1, 1] coords (batch.py:152-154).
         sel = ids >= 0
-        xy_l = np.asarray(kp_l.xy)[sel]
-        xy_r = np.asarray(kp_r.xy)[np.asarray(sm.idx)[sel]]
+        xy_l = xy_l_all[sel]
+        xy_r = xy_r_raw[sm_idx_np[sel]]
         rx, ry = self.cam.resolution_x, self.cam.resolution_y
         return FeatureFrame(
             t=t,

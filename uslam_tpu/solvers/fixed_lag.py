@@ -137,10 +137,10 @@ class FixedLagSmoother:
             self.config.imu.gravity, self.config.solver,
         )
         # Write the refined estimates back into the window keyframes so the
-        # next window linearizes at the smoothed state.
-        pq = np.asarray(values.pose_quat)
-        pt = np.asarray(values.pose_trans)
-        vv = np.asarray(values.vel)
+        # next window linearizes at the smoothed state. ONE device_get for
+        # all three arrays: each separate device->host read pays a full
+        # round trip on high-latency device links.
+        pq, pt, vv = jax.device_get((values.pose_quat, values.pose_trans, values.vel))
         for i, fr in enumerate(self._frames):
             fr.quat, fr.trans, fr.vel = pq[i], pt[i], vv[i]
 
