@@ -66,7 +66,10 @@ def _orb_pair_step(left, right, prev_desc, prev_xy, prev_mask, cfg: FrontendConf
     everywhere, so one program covers both cases."""
     from uslam_tpu.frontend.orb import extract_orb_batch
 
-    kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)
+    # Cast on-device: uint8 camera frames upload at 1/4 the bytes of f32
+    # (transfer latency dominates on high-latency device links).
+    pair = jnp.stack([left, right]).astype(jnp.float32)
+    kp_pair = extract_orb_batch(pair, cfg)
     kp_l = jax.tree.map(lambda a: a[0], kp_pair)
     kp_r = jax.tree.map(lambda a: a[1], kp_pair)
     up = resolve_pallas(cfg.use_pallas)
@@ -135,10 +138,14 @@ class StereoFrontend:
         """One rectified grayscale stereo pair -> FeatureFrame (normalized
         coords + persistent ids), mirroring the nodelet output topic."""
         cfg = self.cfg
-        left = jnp.asarray(left, jnp.float32)
-        right = jnp.asarray(right, jnp.float32)
+        # Keep the caller's dtype (uint8 uploads 4x less than f32); the
+        # fused program casts on-device. KLT needs f32 on the host path.
+        left = jnp.asarray(left)
+        right = jnp.asarray(right)
 
         if cfg.temporal_tracker == "klt":
+            left = left.astype(jnp.float32)
+            right = right.astype(jnp.float32)
             from uslam_tpu.frontend.orb import extract_orb_batch
 
             kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)

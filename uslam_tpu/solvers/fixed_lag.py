@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ from uslam_tpu.geometry.camera import StereoCamera
 from uslam_tpu.graph.builder import GraphBuilder
 from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, Values
 from uslam_tpu.pipeline import run_solver
+from uslam_tpu.solvers.lm import optimize_lm
 from uslam_tpu.solvers.dense import assemble_dense_with_landmarks
 from uslam_tpu.solvers.linearize import linearize_graph
 from uslam_tpu.utils.logging import get_logger
@@ -42,7 +44,6 @@ from uslam_tpu.utils.logging import get_logger
 log = get_logger("fixed_lag")
 
 
-@jax.jit
 def _marginal_information(graph, values: Values, cam, dvl_sigma, stereo_sigma, gravity):
     """Linearize the window, assemble the dense Hessian, Schur-eliminate
     the departing frame's 9 dof, and return the 15x15 marginal information
@@ -66,6 +67,24 @@ def _marginal_information(graph, values: Values, cam, dvl_sigma, stereo_sigma, g
         [M[:, :F], M[:, bias_off - F : bias_off - F + BIAS_DIM]], axis=1
     )
     return jnp.concatenate([cols(top), cols(bias_rows)], axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg"),
+)
+def _jitted_solve_and_marginalize(
+    graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+):
+    """Window LM solve + departing-frame marginal information in ONE
+    compiled program (the steady-state online hot path: two separate
+    dispatches cost two device round trips per keyframe)."""
+    with jax.default_matmul_precision("highest"):
+        values, stats = optimize_lm(
+            graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+        )
+        lam = _marginal_information(graph, values, cam, dvl_sigma, stereo_sigma, gravity)
+    return values, stats, lam
 
 
 @dataclass
@@ -131,21 +150,36 @@ class FixedLagSmoother:
             return initial
 
         graph, initial = self._window_graph()
-        values, stats = run_solver(
-            graph, initial, self.cam,
-            self.config.noise.dvl_sigma, self.config.noise.stereo_sigma,
-            self.config.imu.gravity, self.config.solver,
-        )
+        cfg = self.config
+        full = len(self._frames) > self.window
+        if full:
+            # Steady state: solve + marginal info in one program, one
+            # device_get — every separate dispatch or device->host read is
+            # a full round trip on high-latency device links.
+            values, stats, lam_dev = _jitted_solve_and_marginalize(
+                graph, initial, self.cam,
+                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                cfg.imu.gravity, cfg.solver,
+            )
+            pq, pt, vv, Lam = jax.device_get(
+                (values.pose_quat, values.pose_trans, values.vel, lam_dev)
+            )
+        else:
+            values, stats = run_solver(
+                graph, initial, self.cam,
+                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                cfg.imu.gravity, cfg.solver,
+            )
+            pq, pt, vv = jax.device_get(
+                (values.pose_quat, values.pose_trans, values.vel)
+            )
         # Write the refined estimates back into the window keyframes so the
-        # next window linearizes at the smoothed state. ONE device_get for
-        # all three arrays: each separate device->host read pays a full
-        # round trip on high-latency device links.
-        pq, pt, vv = jax.device_get((values.pose_quat, values.pose_trans, values.vel))
+        # next window linearizes at the smoothed state.
         for i, fr in enumerate(self._frames):
             fr.quat, fr.trans, fr.vel = pq[i], pt[i], vv[i]
 
-        if len(self._frames) > self.window:
-            self._marginalize(graph, values)
+        if full:
+            self._store_marginal(np.asarray(Lam, np.float64), values)
             oldest = self._frames.popleft()
             self._trajectory.append(
                 np.concatenate([oldest.quat, oldest.trans, oldest.vel])
@@ -186,20 +220,9 @@ class FixedLagSmoother:
             )
         return graph, initial
 
-    def _marginalize(self, graph, values: Values) -> None:
-        """Schur-eliminate the departing frame from the dense window Hessian
-        and store the marginal on [new-oldest pose, vel, bias]."""
-        cfg = self.config
-        # ONE compiled program (shape-cached): linearize + dense assembly +
-        # frame-0 elimination dispatched eagerly cost hundreds of tunnel
-        # round trips per keyframe on TPU backends.
-        Lam = np.asarray(
-            _marginal_information(
-                graph, values, self.cam,
-                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
-            ),
-            np.float64,
-        )
+    def _store_marginal(self, Lam: np.ndarray, values: Values) -> None:
+        """PSD-project the 15x15 marginal information and store it as the
+        dense prior for the next window."""
         # PSD-project (sparsification can leave tiny negative eigs).
         w, V = np.linalg.eigh((Lam + Lam.T) / 2.0)
         w = np.clip(w, 0.0, None)
