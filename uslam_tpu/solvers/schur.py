@@ -67,7 +67,12 @@ def landmark_elimination(lin: Linearization, stereo: StereoObservations, n: int,
     YW = jnp.concatenate(
         [Y.reshape(m, K, 18), W.reshape(m, K, 18)], axis=-1
     )                                                     # (M,K,36)
-    stacked = jnp.einsum("mkn,mkx->mnx", onehot, YW)      # (M,N,36)
+    # HIGH (3-pass bf16 ~ f32-equivalent) instead of the solver-wide
+    # HIGHEST (6-pass): this stacking is the widest matmul in the solve and
+    # 3 extra passes buy nothing the refinement loop doesn't already cover.
+    stacked = jnp.einsum(
+        "mkn,mkx->mnx", onehot, YW, precision=jax.lax.Precision.HIGH
+    )                                                     # (M,N,36)
 
     def to_flat(x):                                       # (M,N,18) -> (6N,3M)
         return (
@@ -104,7 +109,9 @@ def solve_schur(
 
     # Camera bands (scatter-free) + the Schur correction, fused at expansion.
     bands = assemble_cam_bands(lin, stereo, n, damping)
-    H_corr = U @ V.T                                      # (6N, 6N), the MXU hot spot
+    H_corr = jax.lax.dot_general(                         # (6N, 6N), the MXU hot spot
+        U, V, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGH
+    )
     H_red, g_c = expand_cam_dense(bands, pp_extra=-H_corr)
     g_c = jnp.concatenate(
         [g_c[:pose_dim_total] - U @ g_l.reshape(-1), g_c[pose_dim_total:]]
