@@ -70,7 +70,7 @@ def main() -> None:
     cfg = UslamConfig(
         solver=SolverConfig(
             max_iterations=int(os.environ.get("BENCH_MAX_ITERS", "50")),
-            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "3")),
+            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "5")),
             relative_error_tol=float(os.environ.get("BENCH_RTOL", "1e-5")),
         )
     )

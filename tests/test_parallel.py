@@ -20,14 +20,20 @@ def test_sharded_step_matches_single_device():
     cfg = slam.config
     assert initial.num_landmarks % 8 == 0  # builder buckets to powers of 2
 
-    # Single-device GN step.
+    # Single-device GN step. This test checks SHARDING equivalence, not step
+    # quality, so both paths pin a strongly regularized solve (jitter 1e-6,
+    # 3 refinement passes): the production low-jitter/deep-refinement solve
+    # recovers weakly-observable modes whose content is f32 summation-order
+    # noise, and the psum's different reduction order makes exactly those
+    # modes diverge between the two paths.
     with jax.default_matmul_precision("highest"):
         lin = linearize_graph(
             graph, initial, slam.cam, cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
             cfg.imu.gravity,
         )
         delta = solve_schur(
-            lin, graph.stereo, initial.num_poses, initial.num_landmarks, 1.0
+            lin, graph.stereo, initial.num_poses, initial.num_landmarks, 1.0,
+            refine_iters=3, jitter=1e-6,
         )
         ref = values_retract(initial, delta)
 
@@ -37,7 +43,7 @@ def test_sharded_step_matches_single_device():
         out = sharded_lm_step(
             g_sh, v_sh, slam.cam,
             cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
-            1.0, mesh,
+            1.0, mesh, refine_iters=3, jitter=1e-6,
         )
 
     # f32 psum summation-order differences propagate through the reduced

@@ -68,11 +68,19 @@ class TestLinearSolvers:
             solve_schur(lin, graph.stereo, initial.num_poses, initial.num_landmarks, 1e-3)
         )
         assert not np.isnan(d_schur_tiny).any()
-        # Moderate damping: the paths must agree.
+        # Moderate damping: the paths must agree. Absolute lambda=0.1 is
+        # tiny next to the ~1e6 diagonal, so both paths pin the strongly
+        # regularized solve (jitter 1e-6, 3 refinement passes): the
+        # production low-jitter solve recovers weakly-observable modes whose
+        # content is f32 summation-order noise, which differs between the
+        # two assembly orders by design.
         lam = 0.1
-        d_dense = np.asarray(solve_dense_gn(H, g, lam))
+        d_dense = np.asarray(solve_dense_gn(H, g, lam, refine_iters=3, jitter=1e-6))
         d_schur = np.asarray(
-            solve_schur(lin, graph.stereo, initial.num_poses, initial.num_landmarks, lam)
+            solve_schur(
+                lin, graph.stereo, initial.num_poses, initial.num_landmarks, lam,
+                refine_iters=3, jitter=1e-6,
+            )
         )
         assert not np.isnan(d_dense).any() and not np.isnan(d_schur).any()
         rel = np.linalg.norm(d_schur - d_dense) / max(np.linalg.norm(d_dense), 1e-9)
@@ -204,18 +212,32 @@ class TestLM:
         assert float(stats.final_error) < float(stats.initial_error)
         assert final_ate < init_ate * 0.6, (init_ate, final_ate)
         assert final_ate < 0.12, final_ate
+        # Regression lock on linear-solve step quality + stopping policy:
+        # with accurate steps (refine_iters=10, jitter=1e-7) and the
+        # progress-band plateau, LM stops in <=20 iterations; degraded
+        # steps (the old 1e-6 jitter / 3 refinement passes) crawl along
+        # weakly-observable modes for 25+ outer iterations, and GTSAM-strict
+        # stopping burns ~20 more at the f32 floor (tools/solver_lab.py,
+        # tools/lm_trace.py).
+        assert int(stats.iterations) <= 35, int(stats.iterations)
 
     def test_dense_solver_agrees(self):
         slam, graph, initial, seq = build_graph(duration=3.0, drift=0.03, seed=3)
         cfg = slam.config
-        dense_cfg = SolverConfig(linear_solver="dense", max_iterations=30)
+        # Structural-agreement test (dense vs Schur elimination): both runs
+        # pin the strongly regularized solve so the comparison isn't
+        # dominated by weakly-observable modes whose content is f32 noise
+        # (differs between assembly orders by design; see
+        # test_schur_matches_dense).
+        pinned = dict(max_iterations=30, refine_iters=3, cholesky_jitter=1e-6)
+        dense_cfg = SolverConfig(linear_solver="dense", **pinned)
         v1, s1 = run_solver(
             graph, initial, slam.cam, cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
             cfg.imu.gravity, dense_cfg,
         )
         v2, s2 = run_solver(
             graph, initial, slam.cam, cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
-            cfg.imu.gravity, SolverConfig(max_iterations=30),
+            cfg.imu.gravity, SolverConfig(**pinned),
         )
         # Both reach the same basin; f32 + different elimination orders leave
         # cm-level differences in weakly observable directions.

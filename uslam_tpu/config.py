@@ -145,7 +145,12 @@ class SolverConfig:
     lambda_initial: float = 1e-5
     lambda_factor: float = 10.0
     lambda_upper_bound: float = 1e5
-    lambda_lower_bound: float = 0.0
+    # With damping_mode='diag', lambda is relative to the diagonal; values
+    # below the Cholesky jitter (~1e-7 on the scaled system) change nothing
+    # about the solve, and letting lambda dive to 1e-10+ just costs rejects
+    # climbing back when a noise-corrupted step finally fails. 0 restores
+    # the GTSAM default (no floor).
+    lambda_lower_bound: float = 1e-7
     relative_error_tol: float = 1e-5
     absolute_error_tol: float = 1e-5
     error_tol: float = 0.0
@@ -158,16 +163,33 @@ class SolverConfig:
     max_obs_per_landmark: int = 64
     # Reduced camera system solve: 'cholesky' (dense block) or 'cg'.
     reduced_solver: str = "cholesky"
+    # LM damping matrix: 'diag' (Marquardt lambda*diag(H) — lambda is
+    # dimensionless/scale-invariant, so reject-escalation bites immediately
+    # against the ~1e6 normal-equation diagonal) or 'identity' (GTSAM's
+    # lambda*I, reference batch.py:337 policy).
+    damping_mode: str = "diag"
+    # Cholesky-path linear-solve quality (see solvers.dense.scaled_cho_solve):
+    # iterative-refinement passes and the PD-safety jitter on the Jacobi-
+    # scaled system. Step quality along weakly-observable modes sets the LM
+    # OUTER iteration count — (1e-6, 3) needs ~3x the outer iterations of
+    # (1e-7, 10) for a worse final error (tools/solver_lab.py).
+    refine_iters: int = 10
+    cholesky_jitter: float = 1e-7
     cg_max_iterations: int = 200
     cg_tol: float = 1e-8
     # Sanitizer (SURVEY.md §5): raise on NaN/Inf inside the jitted solve —
     # JAX's jax_debug_nans, enabled around run_solver.
     debug_nans: bool = False
-    # Plateau stop: end LM after this many consecutive iterations without a
-    # meaningful (relative_error_tol) decrease — f32 LM oscillates
-    # accept/reject near its noise floor instead of meeting GTSAM's
-    # convergence test. 0 disables (strict GTSAM policy).
-    plateau_patience: int = 0
+    # Plateau stop: end LM after this many consecutive iterations whose
+    # error change is within the progress band (plateau_rtol * error).
+    # Near its f32 floor, LM either oscillates accept/reject on evaluation
+    # noise or crawls along weakly-observable modes (curvature below the
+    # f32 damping floor) — both make "progress" by GTSAM's relative test
+    # forever while the estimate stops improving; strict GTSAM policy (0)
+    # then burns tens of iterations. Informative rejects (error degraded
+    # substantially => lambda escalating) neither count nor reset.
+    plateau_patience: int = 5
+    plateau_rtol: float = 5e-3
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,9 @@ def sharded_lm_step(
     damping: float,
     mesh: Mesh,
     axis: str = "devices",
+    refine_iters: int = 10,
+    jitter: float = 1e-7,
+    diag_damping: bool = False,
 ) -> Values:
     """One full Gauss-Newton/LM step (linearize -> landmark-sharded Schur ->
     replicated reduced solve -> shard-local back-substitution -> retract).
@@ -119,7 +122,9 @@ def sharded_lm_step(
         stereo_loc = graph_rep.stereo._replace(
             lm_obs_idx=lm_obs_idx, lm_obs_mask=lm_obs_mask
         )
-        Hll_inv, g_l, U, V = landmark_elimination(lin, stereo_loc, n, damping)
+        Hll_inv, g_l, U, V = landmark_elimination(
+            lin, stereo_loc, n, damping, diag_damping
+        )
         g_corr_local = U @ g_l.reshape(-1)                    # (6N,)
         H_corr_local = U @ V.T                                # (6N, 6N)
 
@@ -129,12 +134,12 @@ def sharded_lm_step(
 
         # Camera part (replicated, pose-major, banded -> dense; includes
         # stereo pose-diagonal terms and damping on every diagonal).
-        bands = assemble_cam_bands(lin, graph_rep.stereo, n, damping)
+        bands = assemble_cam_bands(lin, graph_rep.stereo, n, damping, diag_damping)
         H_red, g_red = expand_cam_dense(bands, pp_extra=-H_corr)
         g_red = jnp.concatenate(
             [g_red[:pose_total] - g_corr, g_red[pose_total:]]
         )
-        delta_perm = scaled_cho_solve(H_red, g_red)
+        delta_perm = scaled_cho_solve(H_red, g_red, refine_iters, jitter)
 
         # ---- shard-local back-substitution ----
         dpose = delta_perm[:pose_total]

@@ -65,10 +65,16 @@ def _at_i_plus_j(at_i: jnp.ndarray, at_j: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def assemble_cam_bands(
-    lin: Linearization, stereo: StereoObservations, n: int, damping
+    lin: Linearization, stereo: StereoObservations, n: int, damping,
+    diag_damping: bool = False,
 ) -> CamBands:
     """Build the banded camera system from a linearization (includes the
-    stereo pose-diagonal terms and LM damping on every diagonal)."""
+    stereo pose-diagonal terms and LM damping on every diagonal).
+
+    ``diag_damping=True`` damps with lambda*diag(H) (Marquardt scaling)
+    instead of lambda*I: lambda becomes dimensionless/scale-invariant, so
+    the LM reject-escalation is immediately effective against a ~1e6
+    diagonal instead of needing ~10 rejects to climb into range."""
     dtype = lin.stereo_r.dtype
     lam = jnp.asarray(damping, dtype) + 1e-8
 
@@ -152,9 +158,19 @@ def assemble_cam_bands(
     gv = gv.at[0].add(gv0)
 
     # LM damping on every diagonal entry (replaces `+ lam * eye(Dc)`).
-    pp_d = pp_d + lam * jnp.eye(POSE_DIM, dtype=dtype)
-    vv_d = vv_d + lam * jnp.eye(VEL_DIM, dtype=dtype)
-    bb = bb + lam * jnp.eye(BIAS_DIM, dtype=dtype)
+    if diag_damping:
+        lam0 = jnp.asarray(damping, dtype)
+        eye_p = jnp.eye(POSE_DIM, dtype=dtype)
+        eye_v = jnp.eye(VEL_DIM, dtype=dtype)
+        eye_b = jnp.eye(BIAS_DIM, dtype=dtype)
+        # H + lam*diag(H) (+ tiny absolute floor for padded zero rows).
+        pp_d = pp_d + (lam0 * pp_d) * eye_p + 1e-8 * eye_p
+        vv_d = vv_d + (lam0 * vv_d) * eye_v + 1e-8 * eye_v
+        bb = bb + (lam0 * bb) * eye_b + 1e-8 * eye_b
+    else:
+        pp_d = pp_d + lam * jnp.eye(POSE_DIM, dtype=dtype)
+        vv_d = vv_d + lam * jnp.eye(VEL_DIM, dtype=dtype)
+        bb = bb + lam * jnp.eye(BIAS_DIM, dtype=dtype)
 
     return CamBands(pp_d, pp_o, pv_d, pv_sup, pv_sub, vv_d, vv_o, pb, vb, bb, gp, gv, gb)
 

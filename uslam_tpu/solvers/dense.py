@@ -154,31 +154,48 @@ def _add_diag(H: jnp.ndarray, v) -> jnp.ndarray:
     return jnp.where(i == j, H + v, H)
 
 
-def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky solve with symmetric Jacobi scaling.
+def scaled_cho_solve(
+    H: jnp.ndarray,
+    g: jnp.ndarray,
+    refine_iters: int = 10,
+    jitter: float = 1e-7,
+) -> jnp.ndarray:
+    """Cholesky solve with symmetric Jacobi scaling + iterative refinement.
 
     The whitened normal equations span ~8 orders of magnitude on the
     diagonal (IMU whitening vs landmark blocks); factoring
     D^-1/2 H D^-1/2 (unit diagonal) keeps every pivot O(1) so f32 Cholesky
     never goes negative from rounding. This is what lets the whole solver
     stay in f32 on the MXU instead of needing f64.
+
+    The jitter that keeps the f32 factorization PD acts as permanent
+    damping on weakly-observable directions (scaled eigenvalues below the
+    jitter: the near-gauge global modes); Richardson refinement with the
+    jittered factor removes that bias at rate jit/(mu+jit) per pass. The
+    LM outer loop crawls along exactly those weak modes, so step quality
+    here sets the outer iteration count — (jitter 1e-6, 3 passes) needs 26
+    outer iterations on the 200-pose problem where (1e-7, 10 passes) needs
+    9 and reaches a LOWER final error (tools/solver_lab.py; the f64-exact
+    oracle needs 6). The scaled system's true negative eigenvalues measure
+    ~-8e-9 (f32 assembly rounding), so 1e-7 keeps Cholesky safely PD while
+    biasing an order of magnitude less than 1e-6. Preconditioned CG in
+    place of Richardson is NOT safe here: those slightly-negative modes
+    make f32 CG blow up (measured, tools/lm_trace.py).
+
+    The extra tri-solve pairs are cheap next to the factorization
+    (~2.2 ms/pair vs 22 ms chol at D=9006 on v5e).
     """
     d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-20))
     d_inv = 1.0 / d
     Hs = H * d_inv[:, None] * d_inv[None, :]
-    # Relative jitter: f32 Schur assembly can leave eigenvalues ~-1e-7 on
-    # the unit-diagonal scaled system; 1e-6*I keeps Cholesky strictly PD.
-    # The jitter's bias on weakly-observable directions is then removed by
-    # a few steps of iterative refinement (the jittered factorization acts
-    # as a preconditioner for the unjittered system). The jitter is applied
-    # with a fused broadcast-iota mask: materializing eye(D) and adding it
-    # costs ~9 ms at D=9006 on v5e, the fused form one cheap pass.
-    Hj = _add_diag(Hs, 1e-6)
+    # Relative jitter, applied with a fused broadcast-iota mask:
+    # materializing eye(D) and adding it costs ~9 ms at D=9006 on v5e.
+    Hj = _add_diag(Hs, jitter)
     # XLA's native Cholesky lowering, deliberately: a hand-rolled blocked
     # right-looking factorization (512-wide panels, one MXU SYRK per step)
     # measured SLOWER end-to-end (53.9x vs 61.7x realtime on the 1k-pose
     # bench), and bf16 trailing updates NaN on these normal equations
-    # (scaled eigenvalues reach the 1e-6 jitter floor).
+    # (scaled eigenvalues reach the jitter floor).
     L = jnp.linalg.cholesky(Hj)
 
     def tri_solve(b):
@@ -187,19 +204,25 @@ def scaled_cho_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
     bs = g * d_inv
     x = tri_solve(bs)
-    # 3 refinement passes, not fewer: with 2 the LM step quality drops
-    # enough to cost ~8 extra LM iterations on the 1k-pose bench (measured
-    # 42 -> 50 iters, net slower) — the tri-solve pairs are cheap next to
-    # the factorization.
-    for _ in range(3):
+    for _ in range(refine_iters):
         x = x + tri_solve(bs - Hs @ x)
     return x * d_inv
 
 
-def solve_dense_gn(H: jnp.ndarray, g: jnp.ndarray, damping: jnp.ndarray | float = 0.0):
-    """Solve (H + lambda I) delta = g by scaled Cholesky.
+def solve_dense_gn(
+    H: jnp.ndarray,
+    g: jnp.ndarray,
+    damping: jnp.ndarray | float = 0.0,
+    refine_iters: int = 10,
+    jitter: float = 1e-7,
+    diag_damping: bool = False,
+):
+    """Solve (H + lambda I) delta = g — or (H + lambda diag(H)) with
+    ``diag_damping`` (Marquardt scaling, see assemble_cam_bands) — by
+    scaled Cholesky.
 
     A tiny diagonal floor keeps unconstrained padding rows (masked factors)
     nonsingular without perturbing constrained directions.
     """
-    return scaled_cho_solve(_add_diag(H, damping + 1e-8), g)
+    damp = damping * jnp.diag(H) if diag_damping else damping
+    return scaled_cho_solve(_add_diag(H, damp + 1e-8), g, refine_iters, jitter)

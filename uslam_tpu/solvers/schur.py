@@ -34,7 +34,10 @@ from uslam_tpu.solvers.dense import scaled_cho_solve
 from uslam_tpu.solvers.linearize import Linearization
 
 
-def landmark_elimination(lin: Linearization, stereo: StereoObservations, n: int, damping):
+def landmark_elimination(
+    lin: Linearization, stereo: StereoObservations, n: int, damping,
+    diag_damping: bool = False,
+):
     """Gather-grouped landmark elimination.
 
     Returns (Hll_inv (M,3,3), g_l (M,3), U (6N,3M), V (6N,3M)) where
@@ -54,7 +57,10 @@ def landmark_elimination(lin: Linearization, stereo: StereoObservations, n: int,
     g_l = -jnp.einsum("mkda,mkd->ma", Jl_g, r_g)
     # Damped 3x3 inverses (batched). Floor keeps padded landmarks sane.
     eye3 = jnp.eye(LM_DIM, dtype=dtype)
-    Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
+    if diag_damping:
+        Hll_inv = jnp.linalg.inv(Hll + (lam * Hll) * eye3 + 1e-8 * eye3)
+    else:
+        Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
 
     W = jnp.einsum("mkda,mkdb->mkab", Jp_g, Jl_g)         # (M,K,6,3)
     Y = jnp.einsum("mkab,mbc->mkac", W, Hll_inv)          # (M,K,6,3)
@@ -95,32 +101,40 @@ def solve_schur(
     cg: bool = False,
     cg_iters: int = 200,
     cg_tol: float = 1e-8,
+    return_aux: bool = False,
+    refine_iters: int = 10,
+    jitter: float = 1e-7,
+    diag_damping: bool = False,
 ):
     """Solve the damped normal equations; returns delta over the global
     tangent layout [frames(9N), bias(6), landmarks(3M)].
 
     Internally the camera system uses a POSE-MAJOR layout
     [poses(6N) | vels(3N) | bias(6)] so the landmark Schur correction is a
-    contiguous top-left block computed as ONE matmul U @ V^T."""
+    contiguous top-left block computed as ONE matmul U @ V^T.
+
+    With ``return_aux`` also returns g.delta (gradient-step inner product,
+    gradient of the 0.5||r||^2 objective) — the cheap ingredient for the LM
+    gain ratio's predicted decrease 0.5 (g.delta + lambda ||delta||^2)."""
     n, m = num_poses, num_landmarks
     pose_dim_total = POSE_DIM * n
 
-    Hll_inv, g_l, U, V = landmark_elimination(lin, stereo, n, damping)
+    Hll_inv, g_l, U, V = landmark_elimination(lin, stereo, n, damping, diag_damping)
 
     # Camera bands (scatter-free) + the Schur correction, fused at expansion.
-    bands = assemble_cam_bands(lin, stereo, n, damping)
+    bands = assemble_cam_bands(lin, stereo, n, damping, diag_damping)
     H_corr = jax.lax.dot_general(                         # (6N, 6N), the MXU hot spot
         U, V, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGH
     )
-    H_red, g_c = expand_cam_dense(bands, pp_extra=-H_corr)
+    H_red, g_c_raw = expand_cam_dense(bands, pp_extra=-H_corr)
     g_c = jnp.concatenate(
-        [g_c[:pose_dim_total] - U @ g_l.reshape(-1), g_c[pose_dim_total:]]
+        [g_c_raw[:pose_dim_total] - U @ g_l.reshape(-1), g_c_raw[pose_dim_total:]]
     )
 
     if cg:
         delta_perm = _cg_solve(H_red, g_c, cg_iters, cg_tol)
     else:
-        delta_perm = scaled_cho_solve(H_red, g_c)
+        delta_perm = scaled_cho_solve(H_red, g_c, refine_iters, jitter)
 
     # Back-substitute landmarks: dl = Hll^-1 (g_l - V^T dpose).
     dpose = delta_perm[:pose_dim_total]
@@ -133,7 +147,14 @@ def solve_schur(
     delta_c = jnp.concatenate(
         [frames.reshape(-1), delta_perm[pose_dim_total + 3 * n :]]
     )
-    return jnp.concatenate([delta_c, delta_l.reshape(-1)])
+    delta = jnp.concatenate([delta_c, delta_l.reshape(-1)])
+    if return_aux:
+        # g.delta over the FULL (camera + landmark) system; the permuted
+        # camera gradient pairs with the permuted camera delta, landmarks
+        # pair blockwise. Damping never enters g.
+        g_dot = g_c_raw @ delta_perm + jnp.sum(g_l * delta_l)
+        return delta, g_dot
+    return delta
 
 
 def _cg_solve(A, b, iters: int, tol: float):
