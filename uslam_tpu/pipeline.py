@@ -243,9 +243,25 @@ def run_solver(
     """
     import contextlib
 
+    import numpy as _np
+
     nan_guard = (
         jax.debug_nans(True) if solver_cfg.debug_nans else contextlib.nullcontext()
     )
+    # Host-resident inputs (the pack_sequence output) ship as ONE
+    # consolidated buffer per dtype and are unpacked inside the LM program:
+    # a per-leaf transfer costs a full round trip on remote-TPU transports
+    # (~27 ms x 31 leaves on this environment's tunnel; see PackedPytree).
+    leaves = jax.tree.leaves((graph, initial))
+    if leaves and all(isinstance(l, (_np.ndarray, _np.generic)) for l in leaves):
+        from uslam_tpu.graph.packing import PackedPytree
+
+        packed = PackedPytree.pack((graph, initial))
+        with jax.default_matmul_precision("highest"), nan_guard:
+            return _jitted_lm_packed(
+                packed, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
+                huber_delta,
+            )
     with jax.default_matmul_precision("highest"), nan_guard:
         return _jitted_lm(
             graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
@@ -263,6 +279,22 @@ from functools import partial as _partial  # noqa: E402
 def _jitted_lm(
     graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg, huber_delta
 ):
+    return optimize_lm(
+        graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
+        huber_delta,
+    )
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg", "huber_delta"),
+)
+def _jitted_lm_packed(
+    packed, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg, huber_delta
+):
+    """LM over a consolidated (graph, initial) upload — the unpack slicing
+    runs inside this program, so ingest pays only the 2-buffer transfer."""
+    graph, initial = packed.unpack()
     return optimize_lm(
         graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg,
         huber_delta,
