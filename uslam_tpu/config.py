@@ -172,9 +172,18 @@ class SolverConfig:
     # iterative-refinement passes and the PD-safety jitter on the Jacobi-
     # scaled system. Step quality along weakly-observable modes sets the LM
     # OUTER iteration count — (1e-6, 3) needs ~3x the outer iterations of
-    # (1e-7, 10) for a worse final error (tools/solver_lab.py).
-    refine_iters: int = 10
-    cholesky_jitter: float = 1e-7
+    # an accurate solve for a worse final error (tools/solver_lab.py).
+    # With damping_mode='diag' the lambda floor itself keeps the scaled
+    # diagonal at >= 1+1e-7 — exactly the PD margin the old standalone
+    # 1e-7 jitter provided — so the jitter drops to a vestigial 1e-8 and
+    # refinement only has f32 factorization rounding to clean up (4
+    # passes; convergence measured equal to jitter 1e-7 + 10 passes on the
+    # 200-pose lab problem and the 1k-pose bench, ~7 ms/iter cheaper on
+    # v5e, tools/lm_trace.py). With damping_mode='identity' an absolute
+    # lambda gives no relative PD protection, so the LM loop floors the
+    # jitter at 1e-7 regardless of this setting.
+    refine_iters: int = 4
+    cholesky_jitter: float = 1e-8
     cg_max_iterations: int = 200
     cg_tol: float = 1e-8
     # Sanitizer (SURVEY.md §5): raise on NaN/Inf inside the jitted solve —

@@ -83,6 +83,11 @@ def optimize_lm(
     use_schur = cfg.linear_solver == "schur"
     use_cg = cfg.reduced_solver == "cg"
     diag_damping = cfg.damping_mode == "diag"
+    # Marquardt damping keeps the Jacobi-scaled diagonal at >= 1 + lambda
+    # (lambda floored at lambda_lower_bound), which is itself the PD margin
+    # f32 Cholesky needs; an absolute lambda*I against a ~1e6 diagonal
+    # provides none, so identity mode floors the jitter at 1e-7.
+    jitter = cfg.cholesky_jitter if diag_damping else max(cfg.cholesky_jitter, 1e-7)
 
     def solve(lin, lam):
         if use_schur:
@@ -96,14 +101,14 @@ def optimize_lm(
                 cg_iters=cfg.cg_max_iterations,
                 cg_tol=cfg.cg_tol,
                 refine_iters=cfg.refine_iters,
-                jitter=cfg.cholesky_jitter,
+                jitter=jitter,
                 diag_damping=diag_damping,
             )
         H, g = assemble_dense_with_landmarks(
             lin, graph.stereo.cam_idx, graph.stereo.lm_idx, n, m
         )
         return solve_dense_gn(
-            H, g, lam, refine_iters=cfg.refine_iters, jitter=cfg.cholesky_jitter,
+            H, g, lam, refine_iters=cfg.refine_iters, jitter=jitter,
             diag_damping=diag_damping,
         )
 
