@@ -70,7 +70,13 @@ def main() -> None:
     cfg = UslamConfig(
         solver=SolverConfig(
             max_iterations=int(os.environ.get("BENCH_MAX_ITERS", "50")),
-            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "5")),
+            # Patience 3 here, not the library default 5: at bench scale the
+            # LM tail is observability-limited noise (ATE 0.2686 vs 0.2677,
+            # final error +0.12% vs patience 5), and two fewer 63 ms
+            # iterations are ~0.13 s of the steady solve. Small clean
+            # problems DO gain from the longer crawl, so the library default
+            # stays 5 (see SolverConfig.plateau_patience).
+            plateau_patience=int(os.environ.get("BENCH_PLATEAU", "3")),
             relative_error_tol=float(os.environ.get("BENCH_RTOL", "1e-5")),
         )
     )
