@@ -195,6 +195,61 @@ class TestBandAssembly:
             rel = np.linalg.norm(d_schur - d_dense) / np.linalg.norm(d_dense)
             assert rel < 1e-7, rel
 
+    def test_velocity_elimination_equals_full_f64(self):
+        """The velocity-chain elimination (solvers.schur._solve_vel_eliminated)
+        is a pure reformulation: in f64 it must reproduce the full
+        reduced-camera solve to rounding, including the return_aux g.delta."""
+        with jax.enable_x64():
+            rng = np.random.default_rng(5)
+            n, m, K = 7, 5, 4
+            lin, stereo = _random_linearization(rng, n, m, K)
+            for lam, dd in [(0.37, False), (1e-3, True)]:
+                d0, a0 = solve_schur(
+                    lin, stereo, n, m, lam, return_aux=True, diag_damping=dd
+                )
+                d1, a1 = solve_schur(
+                    lin, stereo, n, m, lam, return_aux=True, diag_damping=dd,
+                    eliminate_velocities=True,
+                )
+                rel = np.linalg.norm(np.asarray(d1) - np.asarray(d0)) / np.linalg.norm(
+                    np.asarray(d0)
+                )
+                assert rel < 1e-8, (lam, dd, rel)
+                assert abs(float(a1) - float(a0)) < 1e-6 * abs(float(a0))
+
+    def test_block_tridiag_solvers_f64(self):
+        """Thomas scan and Spike (partitioned) block-tridiagonal solvers
+        against a dense oracle."""
+        from uslam_tpu.solvers.tridiag import (
+            block_tridiag_solve,
+            block_tridiag_solve_spike,
+        )
+
+        with jax.enable_x64():
+            rng = np.random.default_rng(1)
+            N, d, K = 33, 3, 5
+            diag = np.stack(
+                [np.eye(d) * 5 + a @ a.T * 0.3 for a in rng.normal(size=(N, d, d))]
+            )
+            off = rng.normal(size=(N - 1, d, d)) * 0.5
+            rhs = rng.normal(size=(N, d, K))
+            A = np.zeros((N * d, N * d))
+            for k in range(N):
+                A[k * d : (k + 1) * d, k * d : (k + 1) * d] = diag[k]
+            for k in range(N - 1):
+                A[k * d : (k + 1) * d, (k + 1) * d : (k + 2) * d] = off[k]
+                A[(k + 1) * d : (k + 2) * d, k * d : (k + 1) * d] = off[k].T
+            x_ref = np.linalg.solve(A, rhs.reshape(N * d, K))
+            for solver in (
+                block_tridiag_solve,
+                lambda D, O, R: block_tridiag_solve_spike(D, O, R, chunk=8),
+            ):
+                x = np.asarray(
+                    solver(jnp.asarray(diag), jnp.asarray(off), jnp.asarray(rhs))
+                ).reshape(N * d, K)
+                rel = np.abs(x - x_ref).max() / np.abs(x_ref).max()
+                assert rel < 1e-12, rel
+
 
 class TestLM:
     def test_converges_on_clean_data(self):

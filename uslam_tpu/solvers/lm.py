@@ -103,6 +103,7 @@ def optimize_lm(
                 refine_iters=cfg.refine_iters,
                 jitter=jitter,
                 diag_damping=diag_damping,
+                eliminate_velocities=cfg.eliminate_velocities,
             )
         H, g = assemble_dense_with_landmarks(
             lin, graph.stereo.cam_idx, graph.stereo.lm_idx, n, m
