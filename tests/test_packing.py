@@ -73,3 +73,38 @@ def test_numpy_whitener_matches_jit():
         cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov,
     )
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3 * np.abs(ref).max())
+
+
+def test_packed_pytree_roundtrip():
+    """PackedPytree (the consolidated 2-buffer upload) must reconstruct the
+    original pytree exactly — shapes, dtypes, 0-d scalars, values — both
+    eagerly and through a jit boundary."""
+    import jax
+
+    from uslam_tpu.graph.packing import PackedPytree
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": rng.normal(size=(3, 4)).astype(np.float32),
+        "b": np.int32(7),
+        "c": (
+            rng.integers(0, 9, size=(5,)).astype(np.int32),
+            np.float32(2.5),
+            rng.normal(size=()).astype(np.float32),
+        ),
+    }
+    packed = PackedPytree.pack(tree)
+    assert len(packed.bufs) == 2  # one buffer per dtype
+
+    def check(out):
+        flat0, td0 = jax.tree.flatten(tree)
+        flat1, td1 = jax.tree.flatten(out)
+        assert td0 == td1
+        for a, b in zip(flat0, flat1):
+            a = np.asarray(a)
+            assert a.shape == np.asarray(b).shape, (a.shape, np.asarray(b).shape)
+            assert a.dtype == np.asarray(b).dtype
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    check(packed.unpack())
+    check(jax.jit(lambda p: p.unpack())(packed))

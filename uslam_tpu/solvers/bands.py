@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from uslam_tpu.graph.builder import StereoObservations
@@ -177,19 +178,33 @@ def assemble_cam_bands(
 
 def _band_dense(diag, sup, sub):
     """(N,da,db) diag + (N-1,da,db) super/sub block bands -> (N*da, N*db)
-    dense, as one fused broadcast-mask expression (no scatter)."""
+    dense, by a shear-reshape (no scatter, no masks).
+
+    Row-block k's content [sub_{k-1} | diag_k | sup_k] starts at column
+    (k-1)*db — a shift that grows by db per block row. Writing each block's
+    content at column 0 of rows padded to length Lo+db and re-viewing the
+    flat buffer with row stride Lo realizes exactly that shift as two plain
+    copies (pad + slice), instead of three full-size mask-multiplies over
+    (N,da,N,db) broadcasts. The spill of the last block's (zero-padded)
+    sup lies outside the sliced window; adjacent blocks never overlap
+    (content of block j ends at (j+2)db <= row length for all real
+    content). Bit-exact vs the mask formulation (pure data movement)."""
     n, da, db = diag.shape
-    i = jnp.arange(n)
-    eq = (i[:, None] == i[None, :])[:, None, :, None]
-    up = (i[:, None] + 1 == i[None, :])[:, None, :, None]
-    dn = (i[:, None] == i[None, :] + 1)[:, None, :, None]
-    pad = ((0, 1), (0, 0), (0, 0))
-    diag_v = diag[:, :, None, :]                                  # by row n
-    sup_v = jnp.pad(sup, pad)[:, :, None, :]                      # by row n (=k)
-    sub_v = jnp.pad(sub, pad).transpose(1, 0, 2)[None]            # by col n' (=k)
     dt = diag.dtype
-    out = eq.astype(dt) * diag_v + up.astype(dt) * sup_v + dn.astype(dt) * sub_v
-    return out.reshape(n * da, n * db)
+    if n == 1:
+        return diag.reshape(da, db)
+    z1 = jnp.zeros((1, da, db), dt)
+    sub_k = jnp.concatenate([z1, sub], axis=0)           # sub_{k-1} at row k
+    sup_k = jnp.concatenate([sup, z1], axis=0)           # sup_k (zero at N-1)
+    content = jnp.concatenate([sub_k, diag, sup_k], axis=2)   # (N, da, 3db)
+    lo = n * db
+    p = lo + db
+    rows = jnp.concatenate(
+        [content, jnp.zeros((n, da, p - 3 * db), dt)], axis=2
+    ).transpose(1, 0, 2)                                 # (da, N, P)
+    flat = rows.reshape(da, n * p)
+    out = jax.lax.slice(flat, (0, db), (da, db + n * lo)).reshape(da, n, lo)
+    return out.transpose(1, 0, 2).reshape(n * da, n * db)
 
 
 def expand_cam_dense(b: CamBands, pp_extra: jnp.ndarray | None = None):
