@@ -224,15 +224,11 @@ def _solve_vel_eliminated(bands, H_corr, U, g_l, n, refine_iters, jitter):
     def l_solve(x):
         return jax.scipy.linalg.solve_triangular(L, x * dv_inv[:, None], lower=True)
 
-    # HIGH (3-pass bf16, f32-equivalent here) for the wide forward solve:
-    # same rationale as the Schur stacking matmul — the solver-wide HIGHEST
-    # (6-pass) buys nothing the refinement doesn't cover.
-    with jax.default_matmul_precision("high"):
-        G = l_solve(R)                             # (3N, 6N+7)
+    G = l_solve(R)                                 # (3N, 6N+7)
     # Every elimination correction in ONE symmetric rank-3N matmul:
     # corr = R^T Avv^{-1} R = G^T G over [poses | bias | g].
     corr = jax.lax.dot_general(
-        G, G, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGH
+        G, G, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
     )
 
     Hpp = (
