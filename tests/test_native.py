@@ -45,3 +45,37 @@ def test_pack_imu_intervals(have_native):
     # interval 1 capped at S=16 of 35 samples
     np.testing.assert_allclose(out[1, :16, :6], imu[10:26])
     assert (out[0, :10, 6] == 0.005).all()
+
+
+def test_imu_whiteners_matches_numpy():
+    """Native C++ whitener recursion == vectorized-numpy reference to f64
+    rounding (the ingest hot spot; graph/builder picks native when built)."""
+    if not native.whitener_available():
+        import pytest
+
+        pytest.skip("no toolchain")
+    from uslam_tpu.config import UslamConfig
+    from uslam_tpu.factors.imu import ImuIntervalData
+    from uslam_tpu.graph.builder import _whiteners_numpy
+
+    rng = np.random.default_rng(3)
+    F, S = 17, 24
+    acc = rng.normal(0, 2, (F, S, 3))
+    acc[..., 2] += 9.81
+    gyro = rng.normal(0, 0.3, (F, S, 3))
+    dt = np.full((F, S), 0.005)
+    counts = rng.integers(0, S + 1, F)   # include empty intervals
+    mask = np.arange(S)[None, :] < counts[:, None]
+    acc *= mask[..., None]
+    gyro *= mask[..., None]
+    dt *= mask
+    cfg = UslamConfig()
+    ref = _whiteners_numpy(
+        ImuIntervalData(acc=acc, gyro=gyro, dt=dt),
+        cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov,
+    )
+    got = native.imu_whiteners(
+        acc, gyro, dt,
+        cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov,
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12 * np.abs(ref).max())

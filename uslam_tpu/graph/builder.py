@@ -299,11 +299,23 @@ def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> np.ndarra
     Fixed at linearization like GTSAM's PreintegratedImuMeasurements
     (reference batch.py:289-293).
 
-    Vectorized float64 numpy (loop over the <=S samples, all intervals at
-    once): ingest-time host work with ZERO XLA involvement — the jitted
-    variant recompiled ~1s per process (this host's CPU AOT cache doesn't
-    reload) and cost ~2s dispatched through the TPU tunnel. Equivalence
-    with the jit oracle (_whitener_fn) is tested."""
+    Host-side work with ZERO XLA involvement — the jitted variant
+    recompiled ~1s per process (this host's CPU AOT cache doesn't reload)
+    and cost ~2s dispatched through the TPU tunnel. Prefers the native C++
+    recursion (uslam_tpu.native, ~4x the vectorized-numpy path — the
+    ingest hot spot at 1k poses); numpy fallback when no toolchain.
+    Equivalence with the jit oracle (_whitener_fn) and between the native
+    and numpy paths is tested."""
+    from uslam_tpu import native
+
+    out = native.imu_whiteners(
+        np.asarray(data.acc, np.float64),
+        np.asarray(data.gyro, np.float64),
+        np.asarray(data.dt, np.float64),
+        cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov,
+    )
+    if out is not None:
+        return out
     return _whiteners_numpy(
         data, cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov
     )

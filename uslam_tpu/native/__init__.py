@@ -104,6 +104,63 @@ def bag_available() -> bool:
     return _load_bag() is not None
 
 
+_WHT_SRC = os.path.join(_HERE, "whitener.cpp")
+_WHT_SO = os.path.join(_HERE, "libuslam_whitener.so")
+_WHT_LIB = None
+_WHT_TRIED = False
+
+
+def _load_whitener():
+    global _WHT_LIB, _WHT_TRIED
+    with _LOCK:
+        if _WHT_LIB is not None or _WHT_TRIED:
+            return _WHT_LIB
+        _WHT_TRIED = True
+        try:
+            if not os.path.exists(_WHT_SO) or os.path.getmtime(_WHT_SO) < os.path.getmtime(_WHT_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _WHT_SRC, "-o", _WHT_SO],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_WHT_SO)
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.imu_whiteners.restype = None
+            lib.imu_whiteners.argtypes = [
+                f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double, f64p,
+            ]
+            _WHT_LIB = lib
+        except Exception:  # toolchain missing / build failure -> fallback
+            _WHT_LIB = None
+        return _WHT_LIB
+
+
+def whitener_available() -> bool:
+    return _load_whitener() is not None
+
+
+def imu_whiteners(acc, gyro, dt, accel_cov, gyro_cov, integration_cov):
+    """Preintegration whiteners inv(chol(P)) over intervals, (F,9,9) f64.
+
+    Native C++ recursion (semantics of graph/builder._whiteners_numpy);
+    returns None when the toolchain is unavailable so the caller can fall
+    back to the vectorized numpy path.
+    """
+    lib = _load_whitener()
+    if lib is None:
+        return None
+    acc = np.ascontiguousarray(acc, np.float64)
+    gyro = np.ascontiguousarray(gyro, np.float64)
+    dt = np.ascontiguousarray(dt, np.float64)
+    F, S, _ = acc.shape
+    out = np.empty((F, 9, 9), np.float64)
+    lib.imu_whiteners(
+        acc, gyro, dt, F, S, accel_cov, gyro_cov, integration_cov, out
+    )
+    return out
+
+
 def bag_scan_records(buf: np.ndarray):
     """Scan rosbag records in a contiguous uint8 buffer.
 
