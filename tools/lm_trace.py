@@ -132,9 +132,33 @@ def main() -> None:
 
         stall = 0
         accepts = rejects = 0
+        diag_h = None
+        if not args.identity_damping and not args.exact:
+            # Marquardt damping: the predicted decrease is
+            # 0.5 (g.delta + lam * delta^T diag(H) delta), NOT lam ||delta||^2
+            # — against a ~1e6 diagonal the identity formula misscales rho by
+            # orders of magnitude (and the Nielsen policy consumes rho).
+            # diag(H) is fixed per linearization; the dense assembly is
+            # affordable at tool scale on CPU.
+            from uslam_tpu.solvers.dense import assemble_dense_with_landmarks
+
+            diag_fn = jax.jit(
+                lambda l: jnp.diag(
+                    assemble_dense_with_landmarks(
+                        l, graph.stereo.cam_idx, graph.stereo.lm_idx, n, m
+                    )[0]
+                )
+            )
+
         for it in range(args.max_iters):
             delta, g_dot = solve_fn(lin, lam)
-            pred = 0.5 * (float(g_dot) + lam * float(jnp.sum(delta**2)))
+            if diag_h is None and not args.identity_damping and not args.exact:
+                diag_h = diag_fn(lin)
+            if args.identity_damping or args.exact:
+                damp_term = lam * float(jnp.sum(delta**2))
+            else:
+                damp_term = lam * float(jnp.sum(diag_h * delta**2))
+            pred = 0.5 * (float(g_dot) + damp_term)
             candidate = retract(values, delta)
             new_error = float(err_fn(candidate))
             if not np.isfinite(new_error):
@@ -156,6 +180,7 @@ def main() -> None:
                 )
                 values, error = candidate, new_error
                 lin = lin_fn(values)
+                diag_h = None      # diag(H) is per-linearization
                 if args.policy == "gtsam":
                     lam = max(lam / 10.0, args.lam_min)
                     nu = 10.0

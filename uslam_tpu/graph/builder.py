@@ -309,9 +309,7 @@ def _compute_imu_whiteners(data: ImuIntervalData, cfg: UslamConfig) -> np.ndarra
     from uslam_tpu import native
 
     out = native.imu_whiteners(
-        np.asarray(data.acc, np.float64),
-        np.asarray(data.gyro, np.float64),
-        np.asarray(data.dt, np.float64),
+        data.acc, data.gyro, data.dt,
         cfg.imu.accel_cov, cfg.imu.gyro_cov, cfg.imu.integration_cov,
     )
     if out is not None:

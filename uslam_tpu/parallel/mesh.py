@@ -83,7 +83,7 @@ def sharded_lm_step(
     damping: float,
     mesh: Mesh,
     axis: str = "devices",
-    refine_iters: int = 10,
+    refine_iters: int = 4,
     jitter: float = 1e-7,
     diag_damping: bool = False,
 ) -> Values:

@@ -157,10 +157,17 @@ def _add_diag(H: jnp.ndarray, v) -> jnp.ndarray:
 def scaled_cho_solve(
     H: jnp.ndarray,
     g: jnp.ndarray,
-    refine_iters: int = 10,
+    refine_iters: int = 4,
     jitter: float = 1e-7,
 ) -> jnp.ndarray:
     """Cholesky solve with symmetric Jacobi scaling + iterative refinement.
+
+    Default jitter is the SAFE 1e-7 (PD even when the system carries no
+    relative diagonal boost — e.g. identity damping with a small absolute
+    lambda; 1e-8 measurably NaNs there). The production LM path passes the
+    vestigial 1e-8 explicitly because Marquardt damping with the lambda
+    floor already supplies the 1e-7 margin (SolverConfig.cholesky_jitter,
+    guarded in solvers.lm).
 
     The whitened normal equations span ~8 orders of magnitude on the
     diagonal (IMU whitening vs landmark blocks); factoring
@@ -213,7 +220,7 @@ def solve_dense_gn(
     H: jnp.ndarray,
     g: jnp.ndarray,
     damping: jnp.ndarray | float = 0.0,
-    refine_iters: int = 10,
+    refine_iters: int = 4,
     jitter: float = 1e-7,
     diag_damping: bool = False,
 ):

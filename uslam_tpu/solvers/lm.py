@@ -85,9 +85,13 @@ def optimize_lm(
     diag_damping = cfg.damping_mode == "diag"
     # Marquardt damping keeps the Jacobi-scaled diagonal at >= 1 + lambda
     # (lambda floored at lambda_lower_bound), which is itself the PD margin
-    # f32 Cholesky needs; an absolute lambda*I against a ~1e6 diagonal
-    # provides none, so identity mode floors the jitter at 1e-7.
-    jitter = cfg.cholesky_jitter if diag_damping else max(cfg.cholesky_jitter, 1e-7)
+    # f32 Cholesky needs — so the configured (vestigial) jitter is enough
+    # ONLY while that floor holds. With the floor disabled
+    # (lambda_lower_bound below ~1e-7, e.g. the GTSAM-default 0) or with
+    # identity damping (an absolute lambda*I against a ~1e6 diagonal
+    # provides no relative protection), restore the full 1e-7 PD jitter.
+    floored_diag = diag_damping and cfg.lambda_lower_bound >= 1e-7
+    jitter = cfg.cholesky_jitter if floored_diag else max(cfg.cholesky_jitter, 1e-7)
 
     def solve(lin, lam):
         if use_schur:
@@ -153,7 +157,7 @@ def optimize_lm(
         # capturing ~15%/iteration) — both keep "meaningful" progress by
         # GTSAM's relative test forever while the estimate stops improving.
         # Count consecutive iterations whose error CHANGE is inside the
-        # progress band (plateau_rtol, default 0.1%); a rejected step that
+        # progress band (plateau_rtol, default 0.5%); a rejected step that
         # degraded the error substantially is informative (lambda too
         # small, escalating), so it neither counts nor resets.
         signed_decrease = state.error - new_error

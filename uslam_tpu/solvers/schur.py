@@ -102,7 +102,7 @@ def solve_schur(
     cg_iters: int = 200,
     cg_tol: float = 1e-8,
     return_aux: bool = False,
-    refine_iters: int = 10,
+    refine_iters: int = 4,
     jitter: float = 1e-7,
     diag_damping: bool = False,
     eliminate_velocities: bool = False,
@@ -116,12 +116,14 @@ def solve_schur(
 
     ``eliminate_velocities`` additionally eliminates the velocity chain
     (block-tridiagonal: IMU intervals couple v_k to v_{k+1}, DVL observes
-    each v_k) through the blocked Thomas solver before the dense
-    factorization, shrinking the Cholesky from 9N+6 to 6N+6 — a 3.4x FLOP
-    cut at the bench's N=1000 — at the cost of two O(N) scans with
-    MXU-batched (3, 6N+7) right-hand sides. The velocity elimination is
-    done by direct solve (no jitter), so step quality matches the full
-    factorization; equivalence is locked by f64 tests.
+    each v_k) before the big factorization, shrinking the reduced Cholesky
+    from 9N+6 to 6N+6 — a 3.4x FLOP cut at the bench's N=1000. The
+    elimination deliberately IGNORES the tridiagonal structure (dense
+    scaled chol(3N) + one wide triangular solve + one G^T G matmul, see
+    :func:`_solve_vel_eliminated`; the scan-based Thomas/Spike variants in
+    solvers.tridiag measured far slower on TPU). It is a direct,
+    refinement-free solve, so step quality matches the full factorization;
+    equivalence is locked by f64 tests.
 
     With ``return_aux`` also returns g.delta (gradient-step inner product,
     gradient of the 0.5||r||^2 objective) — the cheap ingredient for the LM
