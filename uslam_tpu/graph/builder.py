@@ -151,9 +151,16 @@ class GraphBuilder:
     def num_landmarks(self) -> int:
         return len(self._lm_rows)
 
-    def finalize(self, dtype=jnp.float32, with_landmarks: bool = True):
+    def finalize(
+        self, dtype=jnp.float32, with_landmarks: bool = True, as_numpy: bool = False
+    ):
         """Build (GraphArrays, Values). ``with_landmarks`` mirrors the
         reference's ``batch_create(with_landmark=...)`` switch (batch.py:270).
+
+        ``as_numpy`` keeps the leaves host-side numpy: per-leaf jnp.asarray
+        is a device transfer each, and callers that re-finalize every
+        keyframe (the fixed-lag window) ship the result as ONE consolidated
+        buffer per dtype instead (graph.packing.PackedPytree).
         """
         cfg = self.config
         n = len(self.poses)
@@ -241,51 +248,53 @@ class GraphBuilder:
         bias_weight = (
             0.0 if noise.prior_bias_sigma is None else 1.0 / noise.prior_bias_sigma
         )
+        if as_numpy:
+            npt = np.float64 if dtype == jnp.float64 else np.float32
+            arr = lambda x, dt=npt: np.asarray(x, dt)          # noqa: E731
+            zeros = lambda sh, dt=npt: np.zeros(sh, dt)        # noqa: E731
+        else:
+            arr = lambda x, dt=dtype: jnp.asarray(x, dt)       # noqa: E731
+            zeros = lambda sh, dt=dtype: jnp.zeros(sh, dt)     # noqa: E731
+        idt = np.int32 if as_numpy else None
         priors = Priors(
-            pose_quat=jnp.asarray(quats[0], dtype),
-            pose_trans=jnp.asarray(trans[0], dtype),
-            pose_sigmas=jnp.asarray(noise.prior_pose_sigmas, dtype),
-            vel=jnp.asarray(vels[0], dtype),
-            vel_sigma=jnp.asarray(noise.prior_vel_sigma, dtype),
-            bias=jnp.zeros(6, dtype),
-            bias_weight=jnp.asarray(bias_weight, dtype),
-            marg_sqrt_info=jnp.zeros((15, 15), dtype),
-            marg_pose_quat=jnp.array([1.0, 0, 0, 0], dtype),
-            marg_pose_trans=jnp.zeros(3, dtype),
-            marg_vel=jnp.zeros(3, dtype),
-            marg_bias=jnp.zeros(6, dtype),
-            marg_weight=jnp.zeros((), dtype),
+            pose_quat=arr(quats[0]),
+            pose_trans=arr(trans[0]),
+            pose_sigmas=arr(noise.prior_pose_sigmas),
+            vel=arr(vels[0]),
+            vel_sigma=arr(noise.prior_vel_sigma),
+            bias=zeros(6),
+            bias_weight=arr(bias_weight),
+            marg_sqrt_info=zeros((15, 15)),
+            marg_pose_quat=arr([1.0, 0, 0, 0]),
+            marg_pose_trans=zeros(3),
+            marg_vel=zeros(3),
+            marg_bias=zeros(6),
+            marg_weight=zeros(()),
         )
 
-        imu_data = ImuIntervalData(
-            acc=jnp.asarray(acc, dtype),
-            gyro=jnp.asarray(gyro, dtype),
-            dt=jnp.asarray(dts, dtype),
-        )
-        whitener = jnp.asarray(_compute_imu_whiteners(imu_data, cfg), dtype)
+        imu_data_host = ImuIntervalData(acc=acc, gyro=gyro, dt=dts)
+        whitener = _compute_imu_whiteners(imu_data_host, cfg)
         imu = ImuIntervals(
-            data=imu_data,
-            whitener=whitener,
-            mask=jnp.asarray(imu_mask, dtype),
+            data=ImuIntervalData(acc=arr(acc), gyro=arr(gyro), dt=arr(dts)),
+            whitener=arr(whitener),
+            mask=arr(imu_mask),
         )
-        dvl_arr = DvlMeasurements(
-            vel_body=jnp.asarray(dvl, dtype), mask=jnp.asarray(dvl_mask, dtype)
-        )
+        dvl_arr = DvlMeasurements(vel_body=arr(dvl), mask=arr(dvl_mask))
         stereo = StereoObservations(
-            cam_idx=jnp.asarray(cam_idx),
-            lm_idx=jnp.asarray(lm_idx),
-            meas=jnp.asarray(meas, dtype),
-            mask=jnp.asarray(s_mask, dtype),
-            lm_obs_idx=jnp.asarray(lm_obs_idx),
-            lm_obs_mask=jnp.asarray(lm_obs_mask, dtype),
+            cam_idx=np.asarray(cam_idx, idt) if as_numpy else jnp.asarray(cam_idx),
+            lm_idx=np.asarray(lm_idx, idt) if as_numpy else jnp.asarray(lm_idx),
+            meas=arr(meas),
+            mask=arr(s_mask),
+            lm_obs_idx=np.asarray(lm_obs_idx, idt) if as_numpy else jnp.asarray(lm_obs_idx),
+            lm_obs_mask=arr(lm_obs_mask),
         )
         graph = GraphArrays(priors=priors, imu=imu, dvl=dvl_arr, stereo=stereo)
         values = Values(
-            pose_quat=jnp.asarray(quats, dtype),
-            pose_trans=jnp.asarray(trans, dtype),
-            vel=jnp.asarray(vels, dtype),
-            bias=jnp.zeros(6, dtype),
-            landmarks=jnp.asarray(landmarks, dtype),
+            pose_quat=arr(quats),
+            pose_trans=arr(trans),
+            vel=arr(vels),
+            bias=zeros(6),
+            landmarks=arr(landmarks),
         )
         return graph, values
 

@@ -310,9 +310,13 @@ def pack_sequence(
         gyro=np.asarray(gyro, npt),
         dt=np.asarray(dts, npt),
     )
+    # Whiteners from the UNQUANTIZED f64 samples (the builder path does the
+    # same): the covariance recursion is the one ingest stage where f32
+    # input rounding visibly moves the whitening.
+    imu_data_f64 = ImuIntervalData(acc=acc, gyro=gyro, dt=dts)
     imu = ImuIntervals(
         data=imu_data_np,
-        whitener=np.asarray(_compute_imu_whiteners(imu_data_np, cfg), npt),
+        whitener=np.asarray(_compute_imu_whiteners(imu_data_f64, cfg), npt),
         mask=np.asarray(imu_mask, npt),
     )
     graph = GraphArrays(

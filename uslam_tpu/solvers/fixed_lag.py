@@ -79,6 +79,30 @@ def _jitted_solve_and_marginalize(
     """Window LM solve + departing-frame marginal information in ONE
     compiled program (the steady-state online hot path: two separate
     dispatches cost two device round trips per keyframe)."""
+    return _solve_and_marginalize_impl(
+        graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg"),
+)
+def _jitted_solve_and_marginalize_packed(
+    packed, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+):
+    """Consolidated-upload variant: (graph, initial) arrive as one flat
+    buffer per dtype and are unpacked inside the program — 2 transfers per
+    keyframe instead of ~31 (see graph.packing.PackedPytree)."""
+    graph, initial = packed.unpack()
+    return _solve_and_marginalize_impl(
+        graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+    )
+
+
+def _solve_and_marginalize_impl(
+    graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+):
     with jax.default_matmul_precision("highest"):
         values, stats = optimize_lm(
             graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
@@ -156,8 +180,10 @@ class FixedLagSmoother:
             # Steady state: solve + marginal info in one program, one
             # device_get — every separate dispatch or device->host read is
             # a full round trip on high-latency device links.
-            values, stats, lam_dev = _jitted_solve_and_marginalize(
-                graph, initial, self.cam,
+            from uslam_tpu.graph.packing import PackedPytree
+
+            values, stats, lam_dev = _jitted_solve_and_marginalize_packed(
+                PackedPytree.pack((graph, initial)), self.cam,
                 cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
                 cfg.imu.gravity, cfg.solver,
             )
@@ -198,24 +224,26 @@ class FixedLagSmoother:
                 fr.imu if i > 0 else None,   # interval belongs to arrival
                 fr.dvl, fr.features, vel_init=fr.vel,
             )
-        graph, initial = b.finalize()
+        # Host numpy leaves: the window graph is rebuilt EVERY keyframe, so
+        # per-leaf device transfers (~31 round trips on high-latency links)
+        # are replaced by the consolidated 2-buffer upload (PackedPytree)
+        # at the solve dispatch.
+        graph, initial = b.finalize(as_numpy=True)
         if self._marg is not None:
             m = self._marg
             graph = graph._replace(
                 priors=graph.priors._replace(
-                    marg_sqrt_info=jnp.asarray(m["sqrt_info"], jnp.float32),
-                    marg_pose_quat=jnp.asarray(m["pose_quat"], jnp.float32),
-                    marg_pose_trans=jnp.asarray(m["pose_trans"], jnp.float32),
-                    marg_vel=jnp.asarray(m["vel"], jnp.float32),
-                    marg_bias=jnp.asarray(m["bias"], jnp.float32),
-                    marg_weight=jnp.asarray(1.0, jnp.float32),
+                    marg_sqrt_info=np.asarray(m["sqrt_info"], np.float32),
+                    marg_pose_quat=np.asarray(m["pose_quat"], np.float32),
+                    marg_pose_trans=np.asarray(m["pose_trans"], np.float32),
+                    marg_vel=np.asarray(m["vel"], np.float32),
+                    marg_bias=np.asarray(m["bias"], np.float32),
+                    marg_weight=np.asarray(1.0, np.float32),
                     # The explicit first-pose/vel priors only apply to the
                     # very first window (reference adds them at t=0 only,
                     # isam.py:316-319); afterwards the marginal carries them.
-                    pose_sigmas=jnp.asarray(
-                        np.full(6, 1e6), jnp.float32
-                    ),
-                    vel_sigma=jnp.asarray(1e6, jnp.float32),
+                    pose_sigmas=np.full(6, 1e6, np.float32),
+                    vel_sigma=np.asarray(1e6, np.float32),
                 )
             )
         return graph, initial
