@@ -171,6 +171,9 @@ def make_bag(path, compression="none"):
                      POSE_COV_DEF, t, ser_pose_cov(t, q, p)))
         msgs.append((tp.dvl_twist, "geometry_msgs/TwistStamped",
                      TWIST_DEF, t, ser_twist(t, v)))
+        # isam-only ENU velocity stream (reference isam.py:365).
+        msgs.append((tp.mavros_vel, "geometry_msgs/TwistStamped",
+                     TWIST_DEF, t, ser_twist(t, v * 2.0)))
         ids = np.array([3, 7, 11], np.uint64) + k
         u0 = np.linspace(-0.5, 0.5, 3)
         feats.append((t, ids, u0))
@@ -183,7 +186,7 @@ def make_bag(path, compression="none"):
     return imu, press, poses, twists, feats
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_bag_roundtrip(tmp_path, compression):
     path = str(tmp_path / "ref.bag")
     imu, press, poses, twists, feats = make_bag(path, compression)
@@ -197,6 +200,9 @@ def test_bag_roundtrip(tmp_path, compression):
     np.testing.assert_allclose(seq.dvl_pose_quat, np.stack([q for _, q, _ in poses]))
     np.testing.assert_allclose(seq.dvl_pose_pos, np.stack([p for _, _, p in poses]))
     np.testing.assert_allclose(seq.dvl_twist_vel, np.stack([v for _, v in twists]))
+    # mavros velocity stream ingested without topic remapping (isam.py:365).
+    np.testing.assert_allclose(seq.mavros_vel, 2.0 * np.stack([v for _, v in twists]))
+    np.testing.assert_allclose(seq.mavros_vel_t, [t for t, _ in twists], atol=1e-9)
     assert len(seq.features) == len(feats)
     for ff, (t, ids, u0) in zip(seq.features, feats):
         assert ff.t == pytest.approx(t, abs=1e-9)
@@ -261,7 +267,8 @@ def test_native_matches_python(tmp_path):
     nat = bag_to_sequence(path, use_native=True)
     for name in (
         "imu_t imu_acc imu_gyro pressure_t pressure_mbar dvl_pose_t "
-        "dvl_pose_quat dvl_pose_pos dvl_twist_t dvl_twist_vel"
+        "dvl_pose_quat dvl_pose_pos dvl_twist_t dvl_twist_vel "
+        "mavros_vel_t mavros_vel"
     ).split():
         np.testing.assert_array_equal(
             getattr(py, name), getattr(nat, name), err_msg=name

@@ -171,7 +171,7 @@ def _fast_harris_batched(imgs: jnp.ndarray, threshold: float, k: float,
     corner, harris = pl.pallas_call(
         kernel,
         grid=(nb, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, tile_h, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_h, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

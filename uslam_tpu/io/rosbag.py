@@ -5,7 +5,8 @@ The reference consumes its data as a rosbag played through roscore
 reference point this framework directly at the same ``.bag`` file:
 
 - a rosbag v2.0 record/chunk parser (``read_bag``), supporting ``none`` and
-  ``bz2`` chunk compression (``lz4`` gated on the optional lz4 package);
+  ``bz2`` and ``lz4`` chunk compression (lz4 via the pure-Python frame
+  codec in :mod:`uslam_tpu.io.lz4f` when the lz4 package is absent);
 - a generic ROS1 binary message deserializer compiled from the message
   definition text embedded in each bag connection record — so custom types
   (e.g. ``gtsam_vio/CameraMeasurement``, the feature message at
@@ -84,12 +85,14 @@ def _decompress(data: bytes, compression: str) -> bytes:
         return data
     if compression == "bz2":
         return bz2.decompress(data)
-    if compression == "lz4":  # pragma: no cover - lz4 not in this image
-        try:
+    if compression == "lz4":
+        try:  # C-accelerated package when present
             import lz4.frame
-        except ImportError as e:
-            raise RuntimeError("bag uses lz4 chunks; install lz4 to read it") from e
-        return lz4.frame.decompress(data)
+        except ImportError:
+            from uslam_tpu.io import lz4f
+
+            return lz4f.decompress(data)
+        return lz4.frame.decompress(data)  # pragma: no cover - not in image
     raise ValueError(f"unknown chunk compression {compression!r}")
 
 
@@ -369,6 +372,8 @@ class BagTopics:
     dvl_pose: str = "/dvl/local_position"
     dvl_twist: str = "/dvl/twist"
     features: str = "/auv/image_processor/features"
+    # isam-only ENU velocity stream (reference isam.py:365).
+    mavros_vel: str = "/mavros/local_position/velocity_local"
     image_left: str | None = None    # e.g. /zedm/zed_node/left/image_rect_color
     image_right: str | None = None
 
@@ -425,7 +430,8 @@ def bag_to_sequence(
 
         if native.bag_available():
             return _bag_to_sequence_native(path, tp)
-    want = [tp.imu, tp.pressure, tp.dvl_pose, tp.dvl_twist, tp.features]
+    want = [tp.imu, tp.pressure, tp.dvl_pose, tp.dvl_twist, tp.features,
+            tp.mavros_vel]
     if decode_images and tp.image_left and tp.image_right:
         want += [tp.image_left, tp.image_right]
 
@@ -433,6 +439,7 @@ def bag_to_sequence(
     pr_t, pr_mbar = [], []
     dp_t, dp_quat, dp_pos = [], [], []
     dt_t, dt_vel = [], []
+    mv_t, mv_vel = [], []
     features: list[FeatureFrame] = []
     img_t, img_l, img_r = [], {}, {}
 
@@ -462,12 +469,16 @@ def bag_to_sequence(
             dp_t.append(stamp(m))
             dp_quat.append((q["w"], q["x"], q["y"], q["z"]))
             dp_pos.append((p["x"], p["y"], p["z"]))
-        elif m.topic == tp.dvl_twist:
+        elif m.topic in (tp.dvl_twist, tp.mavros_vel):
             tw = m.msg["twist"]
             tw = tw.get("twist", tw)
             lin = tw["linear"]
-            dt_t.append(stamp(m))
-            dt_vel.append((lin["x"], lin["y"], lin["z"]))
+            if m.topic == tp.dvl_twist:
+                dt_t.append(stamp(m))
+                dt_vel.append((lin["x"], lin["y"], lin["z"]))
+            else:
+                mv_t.append(stamp(m))
+                mv_vel.append((lin["x"], lin["y"], lin["z"]))
         elif m.topic == tp.features:
             feats = m.msg.get("features", [])
             features.append(
@@ -506,6 +517,8 @@ def bag_to_sequence(
         dvl_pose_pos=arr(dp_pos, (3,)),
         dvl_twist_t=arr(dt_t), dvl_twist_vel=arr(dt_vel, (3,)),
         features=features,
+        mavros_vel_t=arr(mv_t) if mv_t else None,
+        mavros_vel=arr(mv_vel, (3,)) if mv_vel else None,
         image_t=img_t, images_left=left, images_right=right,
     )
 
@@ -542,7 +555,8 @@ def _bag_to_sequence_native(path: str, tp: BagTopics) -> SensorSequence:
             raise ValueError(f"{path}: not a rosbag v2.0 file")
         whole = np.frombuffer(f.read(), np.uint8)
 
-    want = {t for t in (tp.imu, tp.pressure, tp.dvl_pose, tp.dvl_twist, tp.features) if t}
+    want = {t for t in (tp.imu, tp.pressure, tp.dvl_pose, tp.dvl_twist,
+                        tp.features, tp.mavros_vel) if t}
     conns: dict[int, _Connection | None] = {}
     buffers: list[np.ndarray] = []
 
@@ -628,6 +642,7 @@ def _bag_to_sequence_native(path: str, tp: BagTopics) -> SensorSequence:
     imu, imu_rt = stream(tp.imu)
     pose, pose_rt = stream(tp.dvl_pose)
     twist, twist_rt = stream(tp.dvl_twist)
+    mav, mav_rt = stream(tp.mavros_vel) if tp.mavros_vel else (np.zeros((0, 1)), np.zeros(0))
 
     # Generic (schema-decoded) low-rate streams: pressure JSON + features.
     pr_t, pr_mbar = [], []
@@ -679,6 +694,8 @@ def _bag_to_sequence_native(path: str, tp: BagTopics) -> SensorSequence:
         dvl_twist_t=with_stamp_fallback(twist, twist_rt) if len(twist) else np.zeros(0),
         dvl_twist_vel=twist[:, 1:4] if len(twist) else np.zeros((0, 3)),
         features=features,
+        mavros_vel_t=with_stamp_fallback(mav, mav_rt) if len(mav) else None,
+        mavros_vel=mav[:, 1:4] if len(mav) else None,
     )
 
 
@@ -690,7 +707,7 @@ def write_bag(
     messages: list[tuple[str, str, str, float, bytes]],
     compression: str = "none",
 ) -> None:
-    """Write a single-chunk rosbag v2.0 (compression: "none" or "bz2").
+    """Write a single-chunk rosbag v2.0 (compression: "none", "bz2", "lz4").
 
     ``messages``: (topic, type_name, message_definition, t, serialized_bytes).
     Enough of the format for this module's reader and for offline archival;
@@ -746,7 +763,14 @@ def write_bag(
                 b" " * 4096,  # spec: header record padded to 4 KiB
             )
         )
-        payload = bz2.compress(chunk) if compression == "bz2" else chunk
+        if compression == "bz2":
+            payload = bz2.compress(chunk)
+        elif compression == "lz4":
+            from uslam_tpu.io import lz4f
+
+            payload = lz4f.compress(chunk)
+        else:
+            payload = chunk
         f.write(
             record(
                 {"op": bytes([OP_CHUNK]),

@@ -47,6 +47,11 @@ class SensorSequence:
     dvl_twist_t: np.ndarray
     dvl_twist_vel: np.ndarray
     features: list = field(default_factory=list)   # list[FeatureFrame]
+    # Optional mavros ENU velocity (/mavros/local_position/velocity_local,
+    # the isam-only stream — reference isam.py:365; used there as the
+    # initial velocity estimate, isam.py:306).
+    mavros_vel_t: np.ndarray | None = None
+    mavros_vel: np.ndarray | None = None
     # Optional raw stereo imagery for the in-framework front-end.
     image_t: np.ndarray | None = None
     images_left: np.ndarray | None = None    # (T, H, W) grayscale
@@ -97,6 +102,7 @@ def load_sequence(path: str) -> SensorSequence:
     ).split():
         kwargs[name] = z[name]
     for name in (
+        "mavros_vel_t mavros_vel "
         "image_t images_left images_right gt_t gt_quat gt_pos gt_vel"
     ).split():
         kwargs[name] = z[name] if name in z.files else None

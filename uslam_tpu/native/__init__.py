@@ -11,6 +11,7 @@ active).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -29,6 +30,30 @@ _BAG_LIB = None
 _BAG_TRIED = False
 
 
+def _ensure_built(src: str, so: str, opt: str = "-O2") -> None:
+    """(Re)compile ``src`` -> ``so`` when the source content changed.
+
+    Invalidation is hash-based, not mtime-based: on a fresh checkout every
+    file shares the checkout mtime, so a stale shipped binary could mask
+    source edits. The sha256 of (source bytes + compile flags) is stamped
+    beside the .so; any mismatch (or missing stamp) forces a rebuild.
+    """
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read() + opt.encode()).hexdigest()
+    stamp = so + ".sha256"
+    if os.path.exists(so) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return
+    subprocess.run(
+        ["g++", opt, "-shared", "-fPIC", src, "-o", so],
+        check=True,
+        capture_output=True,
+    )
+    with open(stamp, "w") as f:
+        f.write(digest)
+
+
 def _load():
     global _LIB, _TRIED
     with _LOCK:
@@ -36,12 +61,7 @@ def _load():
             return _LIB
         _TRIED = True
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
-                    check=True,
-                    capture_output=True,
-                )
+            _ensure_built(_SRC, _SO)
             lib = ctypes.CDLL(_SO)
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
             f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -74,12 +94,7 @@ def _load_bag():
             return _BAG_LIB
         _BAG_TRIED = True
         try:
-            if not os.path.exists(_BAG_SO) or os.path.getmtime(_BAG_SO) < os.path.getmtime(_BAG_SRC):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", _BAG_SRC, "-o", _BAG_SO],
-                    check=True,
-                    capture_output=True,
-                )
+            _ensure_built(_BAG_SRC, _BAG_SO)
             lib = ctypes.CDLL(_BAG_SO)
             u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -117,12 +132,7 @@ def _load_whitener():
             return _WHT_LIB
         _WHT_TRIED = True
         try:
-            if not os.path.exists(_WHT_SO) or os.path.getmtime(_WHT_SO) < os.path.getmtime(_WHT_SRC):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _WHT_SRC, "-o", _WHT_SO],
-                    check=True,
-                    capture_output=True,
-                )
+            _ensure_built(_WHT_SRC, _WHT_SO, opt="-O3")
             lib = ctypes.CDLL(_WHT_SO)
             f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
             lib.imu_whiteners.restype = None

@@ -90,7 +90,10 @@ def optimize_lm(
     # (lambda_lower_bound below ~1e-7, e.g. the GTSAM-default 0) or with
     # identity damping (an absolute lambda*I against a ~1e6 diagonal
     # provides no relative protection), restore the full 1e-7 PD jitter.
-    floored_diag = diag_damping and cfg.lambda_lower_bound >= 1e-7
+    floored_diag = (
+        diag_damping
+        and min(cfg.lambda_initial, cfg.lambda_lower_bound) >= 1e-7
+    )
     jitter = cfg.cholesky_jitter if floored_diag else max(cfg.cholesky_jitter, 1e-7)
 
     def solve(lin, lam):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from uslam_tpu.graph.builder import StereoObservations
 from uslam_tpu.graph.values import BIAS_DIM, LM_DIM, POSE_DIM, VEL_DIM
@@ -196,8 +197,11 @@ def _solve_vel_eliminated(bands, H_corr, U, g_l, n, refine_iters, jitter):
     batched right-hand side) followed by ONE symmetric matmul G^T G for
     every correction block at once. Velocity magnitudes span the IMU/DVL
     whitening range, so the block is Jacobi-scaled before factoring (same
-    rationale as scaled_cho_solve; no jitter — the damped Avv is SPD by
-    construction).
+    rationale as scaled_cho_solve) and gets the same guarded PD jitter as
+    the reduced solve: vestigial under Marquardt damping with the lambda
+    floor, but with identity damping an absolute lambda*I gives no
+    relative PD margin and f32 rounding alone can tip the scaled Avv
+    indefinite.
 
     Returns (dpose (6N,), dvel (N,3), dbias (6,), g.delta over the camera
     variables with the RAW gradients)."""
@@ -221,7 +225,14 @@ def _solve_vel_eliminated(bands, H_corr, U, g_l, n, refine_iters, jitter):
     Avv = _band_dense(b.vv_d, b.vv_o, b.vv_o.transpose(0, 2, 1))
     dv_scale = jnp.sqrt(jnp.maximum(jnp.diag(Avv), 1e-20))
     dv_inv = 1.0 / dv_scale
-    L = jnp.linalg.cholesky(Avv * dv_inv[:, None] * dv_inv[None, :])
+    Avv_s = Avv * dv_inv[:, None] * dv_inv[None, :]
+    # The velocity solve is refinement-free, so the jitter is a real bias:
+    # scale it with dtype precision (full value in f32 where rounding can
+    # tip the scaled block indefinite; ~1e-16-level in f64 where the f64
+    # equivalence tests demand exactness to rounding).
+    eps_ratio = jnp.finfo(Avv.dtype).eps / np.finfo(np.float32).eps
+    Avv_s = Avv_s + (jitter * eps_ratio) * jnp.eye(vel_total, dtype=Avv.dtype)
+    L = jnp.linalg.cholesky(Avv_s)
 
     def l_solve(x):
         return jax.scipy.linalg.solve_triangular(L, x * dv_inv[:, None], lower=True)
