@@ -8,4 +8,5 @@ from uslam_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     shard_landmarks,
     sharded_lm_step,
+    sharded_optimize_lm,
 )

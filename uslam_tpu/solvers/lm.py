@@ -56,10 +56,22 @@ def optimize_lm(
     gravity: float,
     cfg: SolverConfig = SolverConfig(),
     huber_delta: float | None = None,
+    axis_name: str | None = None,
 ) -> tuple[Values, LMStats]:
-    """Run LM to convergence. Fully jittable (static shapes from the graph)."""
+    """Run LM to convergence. Fully jittable (static shapes from the graph).
+
+    ``axis_name``: set when called inside a ``shard_map`` whose landmark
+    grouping (``graph.stereo.lm_obs_idx/mask``) is sharded over that mesh
+    axis — the FULL production policy (velocity elimination, Marquardt
+    damping, accept/reject while_loop, plateau stop) then runs with
+    shard-local landmark elimination and psum/all_gather collectives (see
+    ``uslam_tpu.parallel.mesh.sharded_optimize_lm``). Everything except
+    the landmark grouping must be replicated.
+    """
     n = initial.num_poses
     m = initial.num_landmarks
+    if axis_name is not None and cfg.linear_solver != "schur":
+        raise ValueError("sharded LM requires the schur linear solver")
 
     err_fn = partial(
         graph_error,
@@ -82,6 +94,14 @@ def optimize_lm(
 
     use_schur = cfg.linear_solver == "schur"
     use_cg = cfg.reduced_solver == "cg"
+    use_banded = cfg.reduced_solver == "banded"
+    if use_banded and axis_name is not None:
+        raise ValueError("banded reduced solver is not mesh-sharded yet")
+    if use_banded and cfg.band_width <= 0:
+        raise ValueError(
+            "reduced_solver='banded' needs band_width >= the max track "
+            "span (solvers.banded.measure_band_width)"
+        )
     diag_damping = cfg.damping_mode == "diag"
     # Marquardt damping keeps the Jacobi-scaled diagonal at >= 1 + lambda
     # (lambda floored at lambda_lower_bound), which is itself the PD margin
@@ -97,6 +117,21 @@ def optimize_lm(
     jitter = cfg.cholesky_jitter if floored_diag else max(cfg.cholesky_jitter, 1e-7)
 
     def solve(lin, lam):
+        if use_banded:
+            from uslam_tpu.solvers.banded import solve_schur_banded
+
+            return solve_schur_banded(
+                lin,
+                graph.stereo,
+                n,
+                m,
+                lam,
+                band_w=cfg.band_width,
+                panel=cfg.banded_panel or None,
+                refine_iters=cfg.refine_iters,
+                jitter=jitter,
+                diag_damping=diag_damping,
+            )
         if use_schur:
             return solve_schur(
                 lin,
@@ -111,6 +146,7 @@ def optimize_lm(
                 jitter=jitter,
                 diag_damping=diag_damping,
                 eliminate_velocities=cfg.eliminate_velocities,
+                axis_name=axis_name,
             )
         H, g = assemble_dense_with_landmarks(
             lin, graph.stereo.cam_idx, graph.stereo.lm_idx, n, m

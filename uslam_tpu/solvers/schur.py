@@ -107,6 +107,7 @@ def solve_schur(
     jitter: float = 1e-7,
     diag_damping: bool = False,
     eliminate_velocities: bool = False,
+    axis_name: str | None = None,
 ):
     """Solve the damped normal equations; returns delta over the global
     tangent layout [frames(9N), bias(6), landmarks(3M)].
@@ -128,35 +129,55 @@ def solve_schur(
 
     With ``return_aux`` also returns g.delta (gradient-step inner product,
     gradient of the 0.5||r||^2 objective) — the cheap ingredient for the LM
-    gain ratio's predicted decrease 0.5 (g.delta + lambda ||delta||^2)."""
-    n, m = num_poses, num_landmarks
+    gain ratio's predicted decrease 0.5 (g.delta + lambda ||delta||^2).
+
+    ``axis_name``: when set, the call runs inside a ``shard_map`` whose
+    landmark grouping (``stereo.lm_obs_idx``/``lm_obs_mask``) is sharded
+    over that mesh axis. Landmark elimination and back-substitution are
+    shard-local; the reduced-system corrections are combined with one
+    ``psum`` (riding ICI) and the landmark delta with one ``all_gather`` —
+    the production multi-chip path (SURVEY.md §2.2)."""
+    n = num_poses
     pose_dim_total = POSE_DIM * n
 
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     Hll_inv, g_l, U, V = landmark_elimination(lin, stereo, n, damping, diag_damping)
+    m_loc = g_l.shape[0]  # shard-local landmark count (== M single-chip)
 
     # Camera bands (scatter-free) + the Schur correction, fused at expansion.
     bands = assemble_cam_bands(lin, stereo, n, damping, diag_damping)
     H_corr = jax.lax.dot_general(                         # (6N, 6N), the MXU hot spot
         U, V, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGH
     )
+    H_corr = _psum(H_corr)
+    g_corr = _psum(U @ g_l.reshape(-1))                   # (6N,)
+
+    def _gather_lm(delta_l):
+        if axis_name:
+            return jax.lax.all_gather(delta_l, axis_name, tiled=True)
+        return delta_l
 
     if eliminate_velocities and not cg:
         dpose, dvel, dbias, g_dot_cam = _solve_vel_eliminated(
-            bands, H_corr, U, g_l, n, refine_iters, jitter
+            bands, H_corr, g_corr, n, refine_iters, jitter
         )
-        rhs = g_l - (V.T @ dpose).reshape(m, LM_DIM)
+        rhs = g_l - (V.T @ dpose).reshape(m_loc, LM_DIM)
         delta_l = jnp.einsum("mab,mb->ma", Hll_inv, rhs)
+        g_dot_l = _psum(jnp.sum(g_l * delta_l))
+        delta_l = _gather_lm(delta_l)
         frames = jnp.concatenate([dpose.reshape(n, POSE_DIM), dvel], axis=1)
         delta = jnp.concatenate(
             [frames.reshape(-1), dbias, delta_l.reshape(-1)]
         )
         if return_aux:
-            return delta, g_dot_cam + jnp.sum(g_l * delta_l)
+            return delta, g_dot_cam + g_dot_l
         return delta
 
     H_red, g_c_raw = expand_cam_dense(bands, pp_extra=-H_corr)
     g_c = jnp.concatenate(
-        [g_c_raw[:pose_dim_total] - U @ g_l.reshape(-1), g_c_raw[pose_dim_total:]]
+        [g_c_raw[:pose_dim_total] - g_corr, g_c_raw[pose_dim_total:]]
     )
 
     if cg:
@@ -166,8 +187,11 @@ def solve_schur(
 
     # Back-substitute landmarks: dl = Hll^-1 (g_l - V^T dpose).
     dpose = delta_perm[:pose_dim_total]
-    rhs = g_l - (V.T @ dpose).reshape(m, LM_DIM)
+    rhs = g_l - (V.T @ dpose).reshape(m_loc, LM_DIM)
     delta_l = jnp.einsum("mab,mb->ma", Hll_inv, rhs)
+
+    g_dot_l = _psum(jnp.sum(g_l * delta_l))
+    delta_l = _gather_lm(delta_l)
 
     # Permute camera delta back to the global interleaved frame layout.
     dvel = delta_perm[pose_dim_total : pose_dim_total + 3 * n].reshape(n, 3)
@@ -180,12 +204,12 @@ def solve_schur(
         # g.delta over the FULL (camera + landmark) system; the permuted
         # camera gradient pairs with the permuted camera delta, landmarks
         # pair blockwise. Damping never enters g.
-        g_dot = g_c_raw @ delta_perm + jnp.sum(g_l * delta_l)
+        g_dot = g_c_raw @ delta_perm + g_dot_l
         return delta, g_dot
     return delta
 
 
-def _solve_vel_eliminated(bands, H_corr, U, g_l, n, refine_iters, jitter):
+def _solve_vel_eliminated(bands, H_corr, g_corr, n, refine_iters, jitter):
     """Eliminate the velocity chain, solve the (6N+6) pose+bias system,
     back-substitute velocities.
 
@@ -226,12 +250,18 @@ def _solve_vel_eliminated(bands, H_corr, U, g_l, n, refine_iters, jitter):
     dv_scale = jnp.sqrt(jnp.maximum(jnp.diag(Avv), 1e-20))
     dv_inv = 1.0 / dv_scale
     Avv_s = Avv * dv_inv[:, None] * dv_inv[None, :]
-    # The velocity solve is refinement-free, so the jitter is a real bias:
-    # scale it with dtype precision (full value in f32 where rounding can
-    # tip the scaled block indefinite; ~1e-16-level in f64 where the f64
-    # equivalence tests demand exactness to rounding).
+    # The velocity solve is refinement-free, so any jitter is a real bias.
+    # Apply it only when the caller signals the no-floor regime (jitter >=
+    # 1e-7 per lm.py's contract: identity damping, or diag damping with
+    # the lambda floor disabled — there an absolute lambda*I gives no
+    # relative PD margin and f32 rounding can tip the scaled Avv
+    # indefinite). Under floored Marquardt damping the floor itself keeps
+    # the damped scaled diagonal at >= 1 + 1e-7, so the vestigial 1e-8
+    # jitter stays off Avv and clean-data step quality is unchanged.
+    # Scaled by dtype eps so f64 equivalence tests stay exact to rounding.
     eps_ratio = jnp.finfo(Avv.dtype).eps / np.finfo(np.float32).eps
-    Avv_s = Avv_s + (jitter * eps_ratio) * jnp.eye(vel_total, dtype=Avv.dtype)
+    avv_jitter = jitter if jitter >= 1e-7 else 0.0
+    Avv_s = Avv_s + (avv_jitter * eps_ratio) * jnp.eye(vel_total, dtype=Avv.dtype)
     L = jnp.linalg.cholesky(Avv_s)
 
     def l_solve(x):
@@ -251,7 +281,7 @@ def _solve_vel_eliminated(bands, H_corr, U, g_l, n, refine_iters, jitter):
     )
     Hpb = b.pb.reshape(pose_total, BIAS_DIM) - corr[:pose_total, pose_total:-1]
     Hbb = b.bb - corr[pose_total:-1, pose_total:-1]
-    g_p = b.gp.reshape(-1) - U @ g_l.reshape(-1) - corr[:pose_total, -1]
+    g_p = b.gp.reshape(-1) - g_corr - corr[:pose_total, -1]
     g_b = b.gb - corr[pose_total:-1, -1]
 
     H_red = jnp.concatenate(
