@@ -108,3 +108,29 @@ def test_packed_pytree_roundtrip():
 
     check(packed.unpack())
     check(jax.jit(lambda p: p.unpack())(packed))
+
+
+def test_stratified_obs_mask():
+    """Budget keeps min(count, cap) EVENLY SPACED obs per group — the last
+    (loop-closure) observations of a long track must survive."""
+    from uslam_tpu.graph.packing import stratified_obs_mask
+
+    # Group 7 has 10 obs, cap 4 -> exactly 4 kept, spread over the track.
+    keys = np.array([7] * 10 + [3] * 2 + [5])
+    mask = stratified_obs_mask(keys, 4)
+    assert mask[10:].all()                       # under-budget groups intact
+    kept = np.nonzero(mask[:10])[0]
+    assert len(kept) == 4
+    assert kept[-1] == 9                         # the LAST obs survives
+    assert np.diff(kept).max() <= 4              # evenly spread, no big gap
+
+    # cap >= count keeps everything.
+    assert stratified_obs_mask(np.array([1, 1, 2]), 8).all()
+    # Empty input.
+    assert stratified_obs_mask(np.zeros(0, int), 4).shape == (0,)
+
+    # Interleaved groups: per-group occurrence order is what's decimated.
+    keys = np.tile(np.array([0, 1]), 20)         # two groups of 20, interleaved
+    mask = stratified_obs_mask(keys, 5)
+    assert mask.sum() == 10
+    assert mask[keys == 0].sum() == 5 and mask[keys == 1].sum() == 5

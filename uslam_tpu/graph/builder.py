@@ -197,22 +197,27 @@ class GraphBuilder:
         dvl_mask = np.ones(n)
         dvl_mask[0] = 0.0
 
-        # --- Stereo observations (i >= 1, batch.py:295-305), capped at
-        # max_obs_per_landmark per landmark (Schur group budget; extra
-        # observations are dropped entirely so the flat factor set and the
-        # per-landmark groups stay consistent).
+        # --- Stereo observations (i >= 1, batch.py:295-305), budgeted at
+        # max_obs_per_landmark per landmark (Schur group budget; dropped
+        # observations leave the flat factor set and the per-landmark
+        # groups consistent). The budget is STRATIFIED over each track —
+        # same policy as graph.packing.stratified_obs_mask — so loop-
+        # closure re-observations survive on revisiting trajectories.
+        from uslam_tpu.graph.packing import stratified_obs_mask
+
         cap = self.config.solver.max_obs_per_landmark
-        obs = []
-        per_lm_count: dict[int, int] = {}
+        obs_all = []
         for i in range(1, n):
             if not with_landmarks:
                 break
             for lm_row, uL, uR, v, in self.features[i]:
-                c = per_lm_count.get(lm_row, 0)
-                if c >= cap:
-                    continue
-                per_lm_count[lm_row] = c + 1
-                obs.append((i, lm_row, uL, uR, v))
+                obs_all.append((i, lm_row, uL, uR, v))
+        if obs_all:
+            lm_keys = np.array([o[1] for o in obs_all])
+            keep_mask = stratified_obs_mask(lm_keys, cap)
+            obs = [o for o, k in zip(obs_all, keep_mask) if k]
+        else:
+            obs = []
         m = len(self._lm_rows) if with_landmarks else 0
         f_real = len(obs)
         F = _bucket(max(f_real, 1))

@@ -108,6 +108,26 @@ def _rank_within_group(keys: np.ndarray) -> np.ndarray:
     return ranks
 
 
+def stratified_obs_mask(keys: np.ndarray, cap: int) -> np.ndarray:
+    """Per-group observation budget: keep min(count, cap) elements EVENLY
+    SPACED through each group's occurrence order (not the first cap).
+
+    Observations arrive in time order, so a first-N cap silently discards
+    every re-observation after the budget fills — on revisiting/looping
+    trajectories that deletes exactly the loop-closure measurements that
+    bind drift. The stratified pick keeps the temporal spread (first and
+    last observations of a long track always survive the decimation's
+    endpoints-biased spacing), preserving loop closures at identical cost.
+    """
+    if not len(keys):
+        return np.ones(0, bool)
+    rank = _rank_within_group(keys)
+    counts = np.bincount(keys)[keys]
+    # floor((r+1) cap / c) > floor(r cap / c) selects exactly min(c, cap)
+    # evenly spaced ranks (all of them when c <= cap).
+    return ((rank + 1) * cap) // counts > (rank * cap) // counts
+
+
 def pack_sequence(
     seq: SensorSequence,
     config: UslamConfig,
@@ -243,14 +263,14 @@ def pack_sequence(
         lm_init = np.zeros((0, 3))
 
     # Drop frame-0 observations (reference adds stereo factors for i >= 1
-    # only, batch.py:295) and apply the per-landmark observation cap in
-    # observation order.
+    # only, batch.py:295) and apply the per-landmark observation budget
+    # (stratified over each track — see stratified_obs_mask).
     keep = frame_idx >= 1
     frame_k, lm_k = frame_idx[keep], lm_rows[keep]
     uL_k, uR_k, v_k = uL[keep], uR[keep], vv[keep]
     cap = cfg.solver.max_obs_per_landmark
     if len(lm_k):
-        capped = _rank_within_group(lm_k) < cap
+        capped = stratified_obs_mask(lm_k, cap)
         frame_k, lm_k = frame_k[capped], lm_k[capped]
         uL_k, uR_k, v_k = uL_k[capped], uR_k[capped], v_k[capped]
 
