@@ -161,8 +161,17 @@ class SolverConfig:
     # with it the M*K^2 correction tensor; observations beyond the cap are
     # dropped at graph build — standard BA budgeting).
     max_obs_per_landmark: int = 64
-    # Reduced camera system solve: 'cholesky' (dense block) or 'cg'.
+    # Reduced camera system solve: 'cholesky' (dense block), 'cg', or
+    # 'banded' (solvers/banded.py — block-banded panelized factorization
+    # for large N with bounded landmark track span; O(N P^2) memory vs the
+    # dense path's O(N^2), which OOMs HBM near N=4000). 'banded' requires
+    # band_width >= the max track span in frames
+    # (solvers.banded.measure_band_width on the packed graph).
     reduced_solver: str = "cholesky"
+    band_width: int = 0
+    # Panel size (frames) for the banded factorization; 0 = next power of
+    # two >= max(band_width, 16).
+    banded_panel: int = 0
     # Eliminate the velocity chain (dense scaled Cholesky of the 3N
     # velocity block + one symmetric G^T G correction matmul) before the
     # reduced factorization: the big Cholesky shrinks from 9N+6 to 6N+6
@@ -208,6 +217,14 @@ class SolverConfig:
     # substantially => lambda escalating) neither count nor reset.
     plateau_patience: int = 5
     plateau_rtol: float = 5e-3
+    # Hybrid-precision tail (solvers/polish.py): after the f32 TPU solve
+    # converges, continue LM in float64 on the host CPU from the f32
+    # solution. f32 assembly cannot represent weak-mode curvature (~1e-8
+    # of the strong modes), leaving the pose estimate ~2-3x the f64
+    # optimum's ATE away at the same error; a few f64 iterations close
+    # that gap (tests/test_oracle_parity.py). O((6N)^3) f64 host cost —
+    # opt-in, for offline quality runs.
+    f64_polish: bool = False
 
 
 @dataclass(frozen=True)

@@ -177,6 +177,19 @@ class AUVSlam:
             cfg.noise.stereo_huber_delta,
         )
         jax.block_until_ready(values)
+        polish_info = None
+        if cfg.solver.f64_polish:
+            # Hybrid-precision tail (solvers/polish.py): f32 reaches its
+            # error floor with weak-mode ATE ~2-3x the f64 optimum; a few
+            # f64 host-CPU iterations from the f32 solution close that gap
+            # (the precision GTSAM gets for free, reference batch.py:337).
+            from uslam_tpu.solvers.polish import polish_f64
+
+            values, polish_info = polish_f64(
+                graph, values, self.cam,
+                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+                cfg.solver, huber_delta=cfg.noise.stereo_huber_delta,
+            )
         dt = time.perf_counter() - t0
         odom = np.stack(self.odom_compare) if self.odom_compare else np.zeros((0, 3))
         result = SlamResult(
@@ -187,6 +200,8 @@ class AUVSlam:
             solve_seconds=dt,
         )
         result.metrics = self.evaluate(result)
+        if polish_info is not None:
+            result.metrics.update(polish_info)
         log.info(
             "solve: %d poses, %d landmarks, %d LM iters, error %.3e -> %.3e, %.2fs",
             initial.num_poses,
@@ -322,14 +337,27 @@ def run_sequence(
     # front-end (the in-framework replacement for the nodelet features the
     # reference consumes pre-extracted, SURVEY.md C18).
     if not seq.features and seq.images_left is not None:
-        from uslam_tpu.frontend.tracker import StereoFrontend
+        from uslam_tpu.frontend.tracker import StereoFrontend, integrate_gyro_rotvec
 
         fe = StereoFrontend(config.camera, config.frontend)
         t0 = time.perf_counter()
-        seq.features = [
-            fe.process(seq.images_left[i], seq.images_right[i], float(seq.image_t[i]))
-            for i in range(len(seq.image_t))
-        ]
+        seq.features = []
+        prev_im_t = None
+        for i in range(len(seq.image_t)):
+            im_t = float(seq.image_t[i])
+            rv = None
+            if prev_im_t is not None and len(seq.imu_t):
+                sl = slice_stream(seq.imu_t, prev_im_t, im_t)
+                if sl.stop > sl.start:
+                    rv = integrate_gyro_rotvec(
+                        seq.imu_gyro[sl.start : sl.stop], config.imu.default_dt
+                    )
+            seq.features.append(
+                fe.process(
+                    seq.images_left[i], seq.images_right[i], im_t, gyro_rotvec=rv
+                )
+            )
+            prev_im_t = im_t
         log.info(
             "frontend: %d stereo frames in %.2fs (%.1f fps)",
             len(seq.features),
