@@ -31,8 +31,18 @@ class SyntheticSpec:
     duration: float = 20.0          # seconds
     keyframe_rate: float = 5.0      # Hz (reference cadence, batch.py:328)
     imu_rate: float = 200.0         # Hz (batch.py:34)
+    # 'orbit': horizontal circle (loop closures every lap — exercises
+    # global consistency). 'survey': sinusoidal transect that never
+    # revisits (the actual AUV survey pattern) — landmark tracks have
+    # bounded frame span, the regime the banded large-N solver
+    # (solvers/banded.py) is built for.
+    trajectory: str = "orbit"
     radius: float = 5.0             # m
     omega: float = 0.25             # rad/s around the circle
+    # Survey-mode shape: forward speed is omega*radius (same speed scale
+    # as the orbit); lateral sweep y = A sin(2 pi x / wavelength).
+    survey_amplitude: float = 3.0   # m
+    survey_wavelength: float = 40.0  # m
     climb_rate: float = -0.02       # m/s (slow dive)
     z0: float = -2.0                # initial depth (z, world)
     ramp_tau: float = 2.0           # s; speed ramps 0 -> omega*R (rest start,
@@ -59,6 +69,8 @@ def _pose_at(spec: SyntheticSpec, t: np.ndarray):
     Returns dict of arrays: pos (T,3), R (T,3,3) world_T_body rotation,
     vel (T,3) world, acc (T,3) world, omega_body (T,3).
     """
+    if spec.trajectory == "survey":
+        return _pose_at_survey(spec, t)
     # Smooth rest-start angle profile: th(t) = omega (t - tau (1 - e^{-t/tau}))
     # => th' = omega (1 - e^{-t/tau}) (0 at t=0), th'' = (omega/tau) e^{-t/tau}.
     tau = spec.ramp_tau
@@ -87,6 +99,49 @@ def _pose_at(spec: SyntheticSpec, t: np.ndarray):
     R = np.stack([xb, yb, zb], axis=-1)  # columns are body axes
     # Frame spins about world z at rate th'(t).
     om_w = np.stack([np.zeros_like(t), np.zeros_like(t), dth], axis=-1)
+    om_b = np.einsum("tij,tj->ti", np.swapaxes(R, -1, -2), om_w)
+    return {"pos": pos, "R": R, "vel": vel, "acc": acc, "omega_body": om_b}
+
+
+def _pose_at_survey(spec: SyntheticSpec, t: np.ndarray):
+    """Sinusoidal transect: x advances at ramped speed v = omega*radius,
+    y = A sin(2 pi x / wavelength), slow climb in z. Never revisits — the
+    bounded-track-span regime (real AUV survey/lawnmower missions). All
+    derivatives analytic, so the simulated IMU integrates exactly to the
+    trajectory (same contract as the orbit model)."""
+    v = spec.omega * spec.radius
+    tau = spec.ramp_tau
+    e = np.exp(-t / tau)
+    u = v * (t - tau * (1.0 - e))          # ramped forward distance
+    du = v * (1.0 - e)                     # = dx/dt (0 at rest start)
+    ddu = (v / tau) * e
+    A = spec.survey_amplitude
+    k = 2.0 * np.pi / spec.survey_wavelength
+    sin_ku, cos_ku = np.sin(k * u), np.cos(k * u)
+
+    pos = np.stack([u, A * sin_ku, spec.z0 + spec.climb_rate * t], axis=-1)
+    vel = np.stack(
+        [du, A * k * cos_ku * du, np.full_like(t, spec.climb_rate)], axis=-1
+    )
+    acc = np.stack(
+        [
+            ddu,
+            A * k * cos_ku * ddu - A * k * k * sin_ku * du * du,
+            np.zeros_like(t),
+        ],
+        axis=-1,
+    )
+    # Heading follows the horizontal path tangent; well-defined at rest
+    # (slope A k cos(ku) is a function of position, not speed).
+    slope = A * k * cos_ku
+    psi = np.arctan(slope)                 # heading about world z
+    dpsi = (-A * k * k * sin_ku / (1.0 + slope * slope)) * du
+    c, s = np.cos(psi), np.sin(psi)
+    zb = np.stack([c, s, np.zeros_like(t)], axis=-1)     # forward
+    yb = np.stack([np.zeros_like(t), np.zeros_like(t), -np.ones_like(t)], axis=-1)
+    xb = np.cross(yb, zb)
+    R = np.stack([xb, yb, zb], axis=-1)
+    om_w = np.stack([np.zeros_like(t), np.zeros_like(t), dpsi], axis=-1)
     om_b = np.einsum("tij,tj->ti", np.swapaxes(R, -1, -2), om_w)
     return {"pos": pos, "R": R, "vel": vel, "acc": acc, "omega_body": om_b}
 
@@ -191,16 +246,36 @@ def generate_synthetic_sequence(
     press_mbar = press_pa / 100.0
 
     # --- landmarks + stereo features --------------------------------------
-    r_lm = spec.radius + rng.uniform(
-        -spec.landmark_ring_width, spec.landmark_ring_width, spec.num_landmarks
-    )
-    th_lm = rng.uniform(0, 2 * np.pi, spec.num_landmarks)
-    z_lm = spec.z0 + rng.uniform(
-        -spec.landmark_z_spread, spec.landmark_z_spread, spec.num_landmarks
-    )
-    landmarks = np.stack(
-        [r_lm * np.cos(th_lm), r_lm * np.sin(th_lm), z_lm], axis=-1
-    )
+    if spec.trajectory == "survey":
+        # Scattered along the corridor the transect sweeps through, with
+        # depth tracking the dive profile so they stay in view when passed.
+        v_fwd = spec.omega * spec.radius
+        x_max = v_fwd * spec.duration
+        x_lm = rng.uniform(0.0, x_max + spec.max_feature_depth, spec.num_landmarks)
+        y_lm = spec.survey_amplitude * np.sin(
+            2.0 * np.pi * x_lm / spec.survey_wavelength
+        ) + rng.uniform(
+            -spec.landmark_ring_width, spec.landmark_ring_width, spec.num_landmarks
+        )
+        z_lm = (
+            spec.z0
+            + spec.climb_rate * (x_lm / max(v_fwd, 1e-9))
+            + rng.uniform(
+                -spec.landmark_z_spread, spec.landmark_z_spread, spec.num_landmarks
+            )
+        )
+        landmarks = np.stack([x_lm, y_lm, z_lm], axis=-1)
+    else:
+        r_lm = spec.radius + rng.uniform(
+            -spec.landmark_ring_width, spec.landmark_ring_width, spec.num_landmarks
+        )
+        th_lm = rng.uniform(0, 2 * np.pi, spec.num_landmarks)
+        z_lm = spec.z0 + rng.uniform(
+            -spec.landmark_z_spread, spec.landmark_z_spread, spec.num_landmarks
+        )
+        landmarks = np.stack(
+            [r_lm * np.cos(th_lm), r_lm * np.sin(th_lm), z_lm], axis=-1
+        )
 
     fx, fy, cx, cy, b = cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy, cam_cfg.baseline
     rx, ry = cam_cfg.resolution_x, cam_cfg.resolution_y
