@@ -247,3 +247,90 @@ class TestStereoAndTracking:
         # Our budget is 48 kps; require at least a third of OpenCV's inliers
         # and an absolute floor.
         assert ours_good >= max(5, cv_good // 3), (ours_good, cv_good)
+
+
+class TestRotationCompensation:
+    """Gyro-predicted rotation warp for temporal RANSAC (the nodelet's
+    rotation-compensated semantics, reference launch/stereo.launch:46)."""
+
+    @staticmethod
+    def _numpy_rot_project(xy, rotvec, k):
+        """Independent oracle: pixel -> ray -> R^T ray -> pixel."""
+        from scipy.spatial.transform import Rotation
+
+        fx, fy, cx, cy = k
+        d = np.stack(
+            [(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy, np.ones(len(xy))], -1
+        )
+        d2 = d @ Rotation.from_rotvec(rotvec).as_matrix()  # = R^T d row-wise
+        return np.stack(
+            [fx * d2[:, 0] / d2[:, 2] + cx, fy * d2[:, 1] / d2[:, 2] + cy], -1
+        )
+
+    def test_warp_matches_numpy_oracle(self):
+        from uslam_tpu.frontend.tracker import rotation_warp
+
+        rng = np.random.default_rng(0)
+        k = (1827.0, 1827.6, 968.9, 561.4)
+        xy = np.stack(
+            [rng.uniform(50, 1870, 40), rng.uniform(50, 1030, 40)], -1
+        )
+        rv = np.array([0.02, -0.05, 0.03])
+        got = np.asarray(rotation_warp(
+            jnp.asarray(xy, jnp.float32), jnp.asarray(rv, jnp.float32),
+            jnp.asarray(k, jnp.float32),
+        ))
+        want = self._numpy_rot_project(xy, rv, k)
+        np.testing.assert_allclose(got, want, atol=0.05)
+
+    def test_yaw_heavy_ransac(self):
+        """5 deg of inter-frame yaw: uncompensated 1-pt translation RANSAC
+        keeps only the narrow consensus band of the quadratically-varying
+        rotational flow field; the gyro-compensated path keeps everything."""
+        from uslam_tpu.frontend.tracker import ransac_translation, rotation_warp
+
+        rng = np.random.default_rng(1)
+        k = (1827.0, 1827.6, 968.9, 561.4)
+        uu, vv = np.meshgrid(np.linspace(60, 1860, 12), np.linspace(60, 1020, 8))
+        prev = np.stack([uu.ravel(), vv.ravel()], -1)
+        # Yaw about the optical y (down) axis + a small true translation flow.
+        rv = np.array([0.0, np.deg2rad(5.0), 0.0])
+        cur = (
+            self._numpy_rot_project(prev, rv, k)
+            + np.array([3.0, 1.0])
+            + rng.normal(0, 0.3, prev.shape)
+        )
+        mask = jnp.ones(len(prev), bool)
+
+        raw_flow = jnp.asarray(cur - prev, jnp.float32)
+        raw_inl = np.asarray(ransac_translation(raw_flow, mask, threshold=3.0))
+
+        warped = rotation_warp(
+            jnp.asarray(prev, jnp.float32), jnp.asarray(rv, jnp.float32),
+            jnp.asarray(k, jnp.float32),
+        )
+        comp_flow = jnp.asarray(cur, jnp.float32) - warped
+        comp_inl = np.asarray(ransac_translation(comp_flow, mask, threshold=3.0))
+
+        assert raw_inl.mean() < 0.5, raw_inl.mean()     # tracks lost
+        assert comp_inl.mean() > 0.95, comp_inl.mean()  # tracks kept
+
+    def test_integrate_gyro_rotvec(self):
+        from scipy.spatial.transform import Rotation
+
+        from uslam_tpu.frontend.tracker import integrate_gyro_rotvec
+
+        # Constant rate: exact closed form.
+        w = np.array([0.1, -0.2, 0.3])
+        rv = integrate_gyro_rotvec(np.tile(w, (40, 1)), 0.005)
+        np.testing.assert_allclose(rv, w * 0.2, atol=1e-12)
+        # Varying rates: matches scipy sequential composition.
+        rng = np.random.default_rng(2)
+        ws = rng.normal(0, 0.5, (25, 3))
+        R = Rotation.identity()
+        for wi in ws:
+            R = R * Rotation.from_rotvec(wi * 0.01)
+        np.testing.assert_allclose(
+            integrate_gyro_rotvec(ws, 0.01), R.as_rotvec(), atol=1e-12
+        )
+        assert integrate_gyro_rotvec(np.zeros((0, 3)), 0.01).shape == (3,)

@@ -28,6 +28,50 @@ from uslam_tpu.frontend.pallas_kernels import resolve_pallas
 from uslam_tpu.io.sequence import FeatureFrame
 
 
+def integrate_gyro_rotvec(gyro: np.ndarray, dt) -> np.ndarray:
+    """Integrate body rates (S, 3) over steps ``dt`` (scalar or (S,)) to a
+    single rotation vector (3,) — the camera rotation between two frames.
+
+    Host-side numpy (tiny, per-keyframe): composes the per-sample
+    exponentials properly so large inter-frame yaw doesn't suffer
+    small-angle commutation error.
+    """
+    from scipy.spatial.transform import Rotation
+
+    gyro = np.asarray(gyro, np.float64).reshape(-1, 3)
+    if gyro.size == 0:
+        return np.zeros(3)
+    dt = np.broadcast_to(np.asarray(dt, np.float64), (len(gyro),))
+    R = Rotation.identity()
+    for w, h in zip(gyro, dt):
+        R = R * Rotation.from_rotvec(w * h)
+    return R.as_rotvec()
+
+
+def rotation_warp(xy: jnp.ndarray, rel_rotvec: jnp.ndarray, kvec: jnp.ndarray):
+    """Warp pixel coordinates through the pure-rotation (infinite-depth)
+    homography K R^T K^-1 — where the previous frame's keypoints land in
+    the current frame if the camera only rotated.
+
+    ``rel_rotvec``: body rotation prev->cur (camera frame == IMU frame for
+    the ZED-mini's integrated IMU); for a world point,
+    p_cam_cur = (DeltaR)^T p_cam_prev. ``kvec`` = [fx, fy, cx, cy].
+    """
+    from uslam_tpu.geometry.so3 import quat_rotate, so3_exp
+
+    fx, fy, cx, cy = kvec[0], kvec[1], kvec[2], kvec[3]
+    d = jnp.stack(
+        [(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy, jnp.ones(xy.shape[0], xy.dtype)],
+        axis=-1,
+    )
+    q = so3_exp(-rel_rotvec)           # (DeltaR)^T = exp(-w), as a quat
+    d2 = quat_rotate(q, d)
+    z = jnp.where(jnp.abs(d2[:, 2]) > 1e-6, d2[:, 2], 1e-6)
+    return jnp.stack(
+        [fx * d2[:, 0] / z + cx, fy * d2[:, 1] / z + cy], axis=-1
+    )
+
+
 def ransac_translation(
     flow: jnp.ndarray,
     mask: jnp.ndarray,
@@ -57,13 +101,25 @@ def ransac_translation(
 
 
 @_partial(jax.jit, static_argnames=("cfg",))
-def _orb_pair_step(left, right, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig):
+def _orb_pair_step(
+    left, right, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig,
+    rel_rotvec=None, kvec=None,
+):
     """One stereo pair, fully device-side, ONE compiled program:
     batched ORB extraction -> stereo match -> temporal descriptor match vs
-    the previous left frame -> translation-RANSAC. Returns
+    the previous left frame -> (gyro-predicted rotation warp) ->
+    translation-RANSAC. Returns
     (kp_left, kp_right, stereo idx, stereo mask, temporal idx or -1);
     an all-false ``prev_mask`` (first frame) yields temporal idx -1
-    everywhere, so one program covers both cases."""
+    everywhere, so one program covers both cases.
+
+    ``rel_rotvec``: integrated gyro rotation prev->cur. Pure yaw produces
+    pixel flow that varies quadratically across the image (~40 px spread
+    at 5 deg @1080p) — far beyond the 3 px RANSAC gate — so uncompensated
+    1-pt translation RANSAC drops most genuine tracks on a turning
+    vehicle. Warping the previous keypoints through the infinite-depth
+    homography first restores the nodelet's rotation-compensated 2-pt
+    semantics (reference launch/stereo.launch:46)."""
     from uslam_tpu.frontend.orb import extract_orb_batch
 
     # Cast on-device: uint8 camera frames upload at 1/4 the bytes of f32
@@ -87,6 +143,8 @@ def _orb_pair_step(left, right, prev_desc, prev_xy, prev_mask, cfg: FrontendConf
         max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
         use_pallas=up,
     )
+    if rel_rotvec is not None:
+        prev_xy = rotation_warp(prev_xy, rel_rotvec, kvec)
     flow = kp_l.xy - prev_xy[jnp.maximum(tm.idx, 0)]
     inlier = ransac_translation(flow, tm.mask, threshold=cfg.ransac_threshold_px)
     tm_idx = jnp.where(inlier, tm.idx, -1)
@@ -114,6 +172,10 @@ class StereoFrontend:
         self._prev_img = None
         self._next_id = 0
 
+    def _kvec(self) -> jnp.ndarray:
+        c = self.cam
+        return jnp.asarray([c.fx, c.fy, c.cx, c.cy], jnp.float32)
+
     def _associate_klt(self, left: jnp.ndarray, kp_l: Keypoints):
         """KLT-predict previous keypoints into this frame and associate each
         current detection to the nearest prediction within ``klt_gate_px``
@@ -134,9 +196,19 @@ class StereoFrontend:
         mask = (best <= cfg.klt_gate_px) & kp_l.mask
         return jnp.where(mask, j, -1), mask
 
-    def process(self, left: np.ndarray, right: np.ndarray, t: float) -> FeatureFrame:
+    def process(
+        self,
+        left: np.ndarray,
+        right: np.ndarray,
+        t: float,
+        gyro_rotvec: np.ndarray | None = None,
+    ) -> FeatureFrame:
         """One rectified grayscale stereo pair -> FeatureFrame (normalized
-        coords + persistent ids), mirroring the nodelet output topic."""
+        coords + persistent ids), mirroring the nodelet output topic.
+
+        ``gyro_rotvec``: optional integrated body rotation (3,) since the
+        previous frame (``integrate_gyro_rotvec`` over the buffered IMU);
+        enables rotation-compensated temporal RANSAC."""
         cfg = self.cfg
         # Keep the caller's dtype (uint8 uploads 4x less than f32); the
         # fused program casts on-device. KLT needs f32 on the host path.
@@ -162,7 +234,13 @@ class StereoFrontend:
             )
             if self._prev is not None:
                 tm_idx_j, tm_mask = self._associate_klt(left, kp_l)
-                flow = kp_l.xy - self._prev.xy[jnp.maximum(tm_idx_j, 0)]
+                prev_xy = self._prev.xy
+                if gyro_rotvec is not None:
+                    prev_xy = rotation_warp(
+                        prev_xy, jnp.asarray(gyro_rotvec, jnp.float32),
+                        self._kvec(),
+                    )
+                flow = kp_l.xy - prev_xy[jnp.maximum(tm_idx_j, 0)]
                 inlier = ransac_translation(
                     flow, tm_mask, threshold=cfg.ransac_threshold_px
                 )
@@ -185,9 +263,15 @@ class StereoFrontend:
                 prev_desc, prev_xy, prev_mask = (
                     self._prev.desc, self._prev.xy, self._prev.mask,
                 )
-            kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_pair_step(
-                left, right, prev_desc, prev_xy, prev_mask, cfg
-            )
+            if gyro_rotvec is None:
+                kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_pair_step(
+                    left, right, prev_desc, prev_xy, prev_mask, cfg
+                )
+            else:
+                kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_pair_step(
+                    left, right, prev_desc, prev_xy, prev_mask, cfg,
+                    jnp.asarray(gyro_rotvec, jnp.float32), self._kvec(),
+                )
 
         tm_idx, stereo_ok, sm_idx_np, xy_l_all, xy_r_raw = jax.device_get(
             (tm_idx_d, sm_mask_d, sm_idx_d, kp_l.xy, kp_r.xy)

@@ -20,7 +20,7 @@ import numpy as np
 
 from uslam_tpu.config import DEFAULT_CONFIG, UslamConfig
 from uslam_tpu.factors.depth import pressure_to_depth
-from uslam_tpu.frontend.tracker import StereoFrontend
+from uslam_tpu.frontend.tracker import StereoFrontend, integrate_gyro_rotvec
 from uslam_tpu.pipeline import AUVSlam
 from uslam_tpu.solvers.fixed_lag import FixedLagSmoother
 from uslam_tpu.utils.logging import get_logger
@@ -78,7 +78,16 @@ class OnlineSlam:
             log.debug("dropping frame at t=%.3f (unsynchronized)", t)
             return None
 
-        ff = self.frontend.process(np.asarray(left), np.asarray(right), t)
+        # Gyro-predicted rotation since the previous frame: compensates the
+        # temporal RANSAC for vehicle turning (the buffered IMU is exactly
+        # the inter-frame window; it is consumed for preintegration below).
+        rv = None
+        if self._imu_buf and self.keyframes > 0:
+            buf = np.stack(self._imu_buf)
+            rv = integrate_gyro_rotvec(buf[:, 3:6], buf[:, 6])
+        ff = self.frontend.process(
+            np.asarray(left), np.asarray(right), t, gyro_rotvec=rv
+        )
         _, quat, pos = self._odom
         pos_adj = np.array([pos[0], pos[1], self._depth])
         feats = None
