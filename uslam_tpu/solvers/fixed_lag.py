@@ -37,7 +37,6 @@ from uslam_tpu.graph.builder import GraphBuilder
 from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, Values
 from uslam_tpu.pipeline import run_solver
 from uslam_tpu.solvers.lm import optimize_lm
-from uslam_tpu.solvers.dense import assemble_dense_with_landmarks
 from uslam_tpu.solvers.linearize import linearize_graph
 from uslam_tpu.utils.logging import get_logger
 
@@ -45,28 +44,61 @@ log = get_logger("fixed_lag")
 
 
 def _marginal_information(graph, values: Values, cam, dvl_sigma, stereo_sigma, gravity):
-    """Linearize the window, assemble the dense Hessian, Schur-eliminate
-    the departing frame's 9 dof, and return the 15x15 marginal information
-    on [new-oldest pose (6), vel (3), bias (6)]."""
+    """15x15 marginal information on [new-oldest pose (6), vel (3),
+    bias (6)] from the factors being DROPPED with the departing frame.
+
+    Correct recursive marginalization eliminates the departing frame from
+    the factors that leave the graph — the previous marginal prior, the
+    frame's own priors, and the frame0->frame1 IMU interval — NOT from
+    the whole window Hessian: the window's remaining factors stay in the
+    next window, so including them would double-count their information
+    every step (measured: marginal eigenvalues growing ~1.5e7 per keyframe
+    without bound, overconfidence exploding a long stream — the round-1
+    implementation's bug). The departing frame's stereo observations are
+    dropped without marginalization (conservative, standard
+    sparsification); its DVL factor re-indexes out of the window by the
+    i>=1 cadence. The marginal MEAN is taken as the window solution
+    (the dropped-subset gradient at the solution is neglected — standard
+    fixed-lag practice)."""
     lin = linearize_graph(graph, values, cam, dvl_sigma, stereo_sigma, gravity)
-    H, _ = assemble_dense_with_landmarks(
-        lin, graph.stereo.cam_idx, graph.stereo.lm_idx,
-        values.num_poses, values.num_landmarks,
-    )
-    n = values.num_poses
-    bias_off = FRAME_DIM * n
     F = FRAME_DIM
-    H00 = H[:F, :F] + 1e-9 * jnp.eye(F, dtype=H.dtype)
-    Hr0 = H[F:, :F]
-    H_marg = H[F:, F:] - Hr0 @ jnp.linalg.solve(H00, Hr0.T)
-    # Block for [new frame 0 (9), bias (6)], indices shifted down by the
-    # eliminated 9.
-    top = H_marg[:F]
-    bias_rows = H_marg[bias_off - F : bias_off - F + BIAS_DIM]
-    cols = lambda M: jnp.concatenate(  # noqa: E731
-        [M[:, :F], M[:, bias_off - F : bias_off - F + BIAS_DIM]], axis=1
+    D = 2 * F + BIAS_DIM                    # [f0(9) | f1(9) | bias(6)] = 24
+    dtype = lin.imu_r.dtype
+    z = lambda r, c: jnp.zeros((r, c), dtype)  # noqa: E731
+
+    # IMU interval 0 couples f0 -> f1 (+ bias); leaves with frame 0.
+    J_imu = jnp.concatenate(
+        [
+            lin.imu_J_pose_i[0], lin.imu_J_vel_i[0],
+            lin.imu_J_pose_j[0], lin.imu_J_vel_j[0],
+            lin.imu_J_bias[0],
+        ],
+        axis=1,
+    )                                        # (9, 24)
+
+    # Frame-0 pose/vel priors (first window only; later windows carry them
+    # through the marginal and the builder disables the explicit ones).
+    J_pp = jnp.concatenate([lin.prior_pose_J, z(6, D - 6)], axis=1)
+    J_pv = jnp.concatenate([z(3, 6), lin.prior_vel_J, z(3, D - 9)], axis=1)
+    # Bias prior: added once at t=0 (reference batch.py:274 keeps a single
+    # run-wide bias); after the first marginalization the builder zeroes
+    # it and the marginal carries bias information forward.
+    J_pb = jnp.concatenate([z(6, 2 * F), lin.prior_bias_J], axis=1)
+
+    # Previous marginal prior on [f0(9), bias(6)].
+    Jm = lin.marg_J                          # (15, 15) over [p0, v0, b]
+    J_marg = jnp.concatenate([Jm[:, :F], z(15, F), Jm[:, F:]], axis=1)
+
+    H = (
+        J_imu.T @ J_imu
+        + J_pp.T @ J_pp
+        + J_pv.T @ J_pv
+        + J_pb.T @ J_pb
+        + J_marg.T @ J_marg
     )
-    return jnp.concatenate([cols(top), cols(bias_rows)], axis=0)
+    H00 = H[:F, :F] + 1e-9 * jnp.eye(F, dtype=dtype)
+    Hr0 = H[F:, :F]
+    return H[F:, F:] - Hr0 @ jnp.linalg.solve(H00, Hr0.T)
 
 
 @partial(
@@ -239,11 +271,14 @@ class FixedLagSmoother:
                     marg_vel=np.asarray(m["vel"], np.float32),
                     marg_bias=np.asarray(m["bias"], np.float32),
                     marg_weight=np.asarray(1.0, np.float32),
-                    # The explicit first-pose/vel priors only apply to the
-                    # very first window (reference adds them at t=0 only,
-                    # isam.py:316-319); afterwards the marginal carries them.
+                    # The explicit first-pose/vel/bias priors only apply to
+                    # the very first window (reference adds them at t=0
+                    # only, isam.py:316-319); afterwards the marginal
+                    # carries them — re-adding any of them every window
+                    # would double-count that information each step.
                     pose_sigmas=np.full(6, 1e6, np.float32),
                     vel_sigma=np.asarray(1e6, np.float32),
+                    bias_weight=np.asarray(0.0, np.float32),
                 )
             )
         return graph, initial
