@@ -1,7 +1,7 @@
 """Benchmark: full batch bundle adjustment on a 1000-pose synthetic sequence.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Metric: real-time factor of the end-to-end batch solve (sequence duration /
 wall-clock of the steady-state jitted LM solve). Baseline target is the
@@ -10,7 +10,15 @@ BASELINE.json north star: >10x real-time on one TPU v5e for front-end +
 GTSAM LM solve, reference batch.py:328,337 — never benchmarked,
 BASELINE.md).
 
-Environment knobs: BENCH_POSES (default 1000), BENCH_LANDMARKS (512).
+Extra JSON fields:
+- ate_init / ate_final: solver quality on the drifting multi-lap orbit
+  (loop closures preserved by the stratified observation budget).
+- scaling: {poses: realtime_factor} for the long-mission survey sweep
+  (banded reduced solver, solvers/banded.py — the dense path OOMs HBM
+  near 4k poses).
+
+Environment knobs: BENCH_POSES (default 1000), BENCH_LANDMARKS (512),
+BENCH_SCALING ("2000,4000"; "" disables), BENCH_FRONTEND (1).
 """
 
 from __future__ import annotations
@@ -114,6 +122,7 @@ def main() -> None:
     jax.block_until_ready(values)
     solve_s = time.perf_counter() - t0
 
+    ate = init_ate = None
     if seq.gt_pos is not None:
         from uslam_tpu.eval.metrics import ate_rmse
 
@@ -152,16 +161,83 @@ def main() -> None:
         f"{duration:.0f}s of data => {rtf:.1f}x real-time "
         f"({int(stats.iterations)} iters)"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"batch_ba_{initial.num_poses}poses_realtime_factor",
-                "value": round(rtf, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf / 10.0, 3),
-            }
-        )
-    )
+
+    # --- long-mission scaling sweep: survey trajectory + banded solver ----
+    # (the dense reduced solve OOMs HBM near 4k poses; the banded
+    # factorization is O(N P^2) memory — solvers/banded.py).
+    scaling: dict[str, float] = {}
+    scale_spec = os.environ.get("BENCH_SCALING", "2000,4000")
+    if scale_spec:
+        import dataclasses
+
+        from uslam_tpu.solvers.banded import measure_band_width
+
+        for n_scale in [int(x) for x in scale_spec.split(",") if x]:
+            try:
+                t0 = time.perf_counter()
+                dur_s = n_scale / keyframe_rate
+                sspec = SyntheticSpec(
+                    trajectory="survey",
+                    duration=dur_s,
+                    keyframe_rate=keyframe_rate,
+                    num_landmarks=max(n_lms, n_scale),
+                    omega=0.15,
+                    # Short tracks keep the band narrow (fast-moving
+                    # transect; features pass through view in ~8 s).
+                    max_feature_depth=10.0,
+                    odom_drift_rate=0.02,
+                    feature_noise_px=0.3,
+                    seed=0,
+                )
+                sseq = generate_synthetic_sequence(sspec)
+                t0 = time.perf_counter()
+                sgraph, sinit, _so, _ = pack_sequence(sseq, cfg)
+                s_ingest = time.perf_counter() - t0
+                bw = measure_band_width(sgraph.stereo)
+                scfg = dataclasses.replace(
+                    cfg.solver, reduced_solver="banded", band_width=bw
+                )
+                log(
+                    f"bench[scale {n_scale}]: {sinit.num_poses} poses, "
+                    f"{sinit.num_landmarks} landmarks, band_w {bw}, "
+                    f"ingest {s_ingest:.2f}s"
+                )
+                s_args = (
+                    sgraph, sinit, cam,
+                    cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                    cfg.imu.gravity, scfg,
+                )
+                t0 = time.perf_counter()
+                svals, sstats = run_solver(*s_args)
+                jax.block_until_ready(svals)
+                warm_sc = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                svals, sstats = run_solver(*s_args)
+                jax.block_until_ready(svals)
+                s_solve = time.perf_counter() - t0
+                s_rtf = dur_s / (s_ingest + s_solve)
+                scaling[str(sinit.num_poses)] = round(s_rtf, 2)
+                log(
+                    f"bench[scale {n_scale}]: warm {warm_sc:.1f}s, steady "
+                    f"{s_solve:.2f}s, {int(sstats.iterations)} iters, "
+                    f"error {float(sstats.initial_error):.3e} -> "
+                    f"{float(sstats.final_error):.3e} => {s_rtf:.1f}x realtime"
+                )
+            except Exception as e:  # scaling must never kill the bench line
+                log(f"bench[scale {n_scale}]: FAILED: {type(e).__name__}: {e}")
+
+    out = {
+        "metric": f"batch_ba_{initial.num_poses}poses_realtime_factor",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 10.0, 3),
+    }
+    if ate is not None:
+        out["ate_init"] = round(float(init_ate), 4)
+        out["ate_final"] = round(float(ate), 4)
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
