@@ -21,6 +21,11 @@ def main() -> None:
     ap.add_argument("--duration", type=float, default=12.0)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--device-resident", action="store_true",
+        help="keep the steady-state window on device (1 upload + 1 fetch "
+        "per keyframe; biggest win on high-latency TPU links)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -39,7 +44,9 @@ def main() -> None:
         render_images=True,
         omit_features=True,
     )
-    online = OnlineSlam(UslamConfig(), window=args.window)
+    online = OnlineSlam(
+        UslamConfig(), window=args.window, device_resident=args.device_resident
+    )
 
     # Interleave every stream by timestamp — a live driver loop.
     events = (
@@ -51,6 +58,7 @@ def main() -> None:
     )
     events.sort(key=lambda e: e[1])
 
+    lat_ms: list[float] = []
     t_start = time.perf_counter()
     for kind, t, i in events:
         if kind == "imu":
@@ -65,11 +73,13 @@ def main() -> None:
             t0 = time.perf_counter()
             values = online.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
             if values is not None:
+                ms = (time.perf_counter() - t0) * 1e3
+                lat_ms.append(ms)
                 pos = np.asarray(values.pose_trans[-1])
                 print(
                     f"t={t:6.2f}s keyframe {online.keyframes:3d} "
                     f"pos=({pos[0]:+.2f}, {pos[1]:+.2f}, {pos[2]:+.2f}) "
-                    f"[{(time.perf_counter()-t0)*1e3:.0f} ms]"
+                    f"[{ms:.0f} ms]"
                 )
     wall = time.perf_counter() - t_start
 
@@ -79,6 +89,12 @@ def main() -> None:
 
         n = min(len(traj), len(seq.gt_pos))
         print(f"ATE vs ground truth: {ate_rmse(traj[:n], seq.gt_pos[:n]):.3f} m")
+    if len(lat_ms) > 4:
+        tail = np.sort(np.array(lat_ms[len(lat_ms) // 2 :]))
+        print(
+            f"steady-state keyframe latency: median "
+            f"{tail[len(tail) // 2]:.0f} ms, p90 {tail[int(len(tail) * 0.9)]:.0f} ms"
+        )
     print(f"{online.keyframes} keyframes in {wall:.1f}s wall "
           f"({args.duration / max(wall, 1e-9):.2f}x realtime incl. compiles)")
 

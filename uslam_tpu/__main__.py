@@ -32,6 +32,18 @@ def cmd_run(args) -> int:
     from uslam_tpu.pipeline import run_sequence
 
     cfg = UslamConfig.from_json(args.config) if args.config else UslamConfig()
+    if args.banded or args.polish:
+        import dataclasses
+
+        updates = {}
+        if args.banded:
+            # band_width 0 = auto (measured from the packed graph).
+            updates.update(reduced_solver="banded", band_width=0)
+        if args.polish:
+            updates.update(f64_polish=True)
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, **updates)
+        )
     if args.cpu:
         import jax
 
@@ -63,6 +75,7 @@ def cmd_synth(args) -> int:
 
     spec = SyntheticSpec(
         duration=args.duration,
+        trajectory=args.trajectory,
         num_landmarks=args.landmarks,
         odom_drift_rate=args.drift,
         feature_noise_px=args.noise,
@@ -116,11 +129,25 @@ def main(argv=None) -> int:
     p.add_argument("--save-values", default=None, help="npz checkpoint of the solution")
     p.add_argument("--no-landmarks", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--banded", action="store_true",
+        help="banded large-N reduced solver (bounded-track-span missions; "
+        "band width auto-measured from the packed graph)",
+    )
+    p.add_argument(
+        "--polish", action="store_true",
+        help="f64 host-CPU polish after the f32 solve (offline quality runs)",
+    )
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("synth", help="generate a synthetic sequence npz")
     p.add_argument("--out", default="synthetic.npz")
     p.add_argument("--duration", type=float, default=60.0)
+    p.add_argument(
+        "--trajectory", choices=["orbit", "survey"], default="orbit",
+        help="orbit: looping circle (loop closures); survey: sinusoidal "
+        "transect (bounded track span, the banded-solver regime)",
+    )
     p.add_argument("--landmarks", type=int, default=256)
     p.add_argument("--drift", type=float, default=0.02)
     p.add_argument("--noise", type=float, default=0.3)

@@ -33,11 +33,19 @@ class OnlineSlam:
     config: UslamConfig = field(default_factory=lambda: DEFAULT_CONFIG)
     window: int = 10
     solve_during_fill: bool = True
+    # Keep the steady-state window graph + marginal prior ON DEVICE between
+    # keyframes (one consolidated upload + one fetch per keyframe instead
+    # of rebuilding/shipping the window graph — see
+    # solvers.fixed_lag.DeviceWindowState). Biggest win on high-latency
+    # device links (remote TPU).
+    device_resident: bool = False
 
     def __post_init__(self):
         self.frontend = StereoFrontend(self.config.camera, self.config.frontend)
         self.smoother = FixedLagSmoother(
-            self.config, window=self.window, solve_during_fill=self.solve_during_fill
+            self.config, window=self.window,
+            solve_during_fill=self.solve_during_fill,
+            device_resident=self.device_resident,
         )
         self._helper = AUVSlam(self.config)   # landmark triangulation helper
         self._imu_buf: list = []

@@ -165,6 +165,17 @@ class AUVSlam:
             self.batch_create(with_landmark)
         graph, initial = self._graph_cache
         cfg = self.config
+        solver_cfg = cfg.solver
+        if solver_cfg.reduced_solver == "banded" and solver_cfg.band_width <= 0:
+            # Auto band width: measured max track span of the packed graph
+            # (host-side; the width is a static jit parameter).
+            import dataclasses
+
+            from uslam_tpu.solvers.banded import measure_band_width
+
+            solver_cfg = dataclasses.replace(
+                solver_cfg, band_width=measure_band_width(graph.stereo)
+            )
         t0 = time.perf_counter()
         values, stats = run_solver(
             graph,
@@ -173,7 +184,7 @@ class AUVSlam:
             cfg.noise.dvl_sigma,
             cfg.noise.stereo_sigma,
             cfg.imu.gravity,
-            cfg.solver,
+            solver_cfg,
             cfg.noise.stereo_huber_delta,
         )
         jax.block_until_ready(values)

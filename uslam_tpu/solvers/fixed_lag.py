@@ -168,9 +168,17 @@ class FixedLagSmoother:
     # window-1 compilations; the frames still get smoothed once the window
     # is full, only the earliest *online* estimates are the raw odometry.
     solve_during_fill: bool = True
+    # Steady-state window kept ON DEVICE between keyframes: one
+    # consolidated upload (the new keyframe record) + one fetch per step
+    # instead of rebuilding and shipping the whole window graph (see the
+    # device-resident section below). Fill and the first marginalization
+    # still use the host path.
+    device_resident: bool = False
+    feat_slots: int = 64          # static per-frame feature budget (device mode)
     _frames: deque = field(default_factory=deque)
     _marg: dict | None = None
     _trajectory: list = field(default_factory=list)
+    _dev_state: object = None
 
     def __post_init__(self):
         self.cam = StereoCamera.from_config(self.config.camera)
@@ -197,6 +205,13 @@ class FixedLagSmoother:
                 features,
             )
         )
+
+        if (
+            self.device_resident
+            and self._marg is not None
+            and len(self._frames) > self.window
+        ):
+            return self._device_step()
 
         if len(self._frames) <= self.window and not self.solve_during_fill:
             b = GraphBuilder(self.config)
@@ -243,6 +258,100 @@ class FixedLagSmoother:
                 np.concatenate([oldest.quat, oldest.trans, oldest.vel])
             )
         return values
+
+    # ---- device-resident steady state --------------------------------
+
+    def _frame_record_arrays(self, fr: "_Keyframe"):
+        """One keyframe -> fixed-shape f32/int32 record arrays."""
+        S = self.config.imu.max_samples_per_keyframe
+        Kf = self.feat_slots
+        # Whiteners from the UNQUANTIZED f64 samples (same contract as the
+        # batch ingest path — see CLAUDE.md); the graph data itself is f32.
+        imu64 = np.zeros((S, 7), np.float64)
+        valid = 0.0
+        if fr.imu is not None and len(fr.imu):
+            s = min(len(fr.imu), S)
+            imu64[:s] = fr.imu[:s]
+            valid = 1.0
+        from uslam_tpu.factors.imu import ImuIntervalData
+        from uslam_tpu.graph.builder import _compute_imu_whiteners
+
+        whit = _compute_imu_whiteners(
+            ImuIntervalData(
+                acc=imu64[None, :, 0:3], gyro=imu64[None, :, 3:6],
+                dt=imu64[None, :, 6],
+            ),
+            self.config,
+        )[0].astype(np.float32)
+        imu = imu64.astype(np.float32)
+        ids = np.full(Kf, int(_ID_SENTINEL), np.int32)
+        meas = np.zeros((Kf, 3), np.float32)
+        init = np.zeros((Kf, 3), np.float32)
+        fmask = np.zeros(Kf, np.float32)
+        if fr.features:
+            for k, (lm_id, uL, uR, v, xyz) in enumerate(fr.features[:Kf]):
+                ids[k] = np.int32(lm_id)
+                meas[k] = (uL, uR, v)
+                init[k] = np.asarray(xyz, np.float32)
+                fmask[k] = 1.0
+        return DeviceWindowRecord(
+            quat=np.asarray(fr.quat, np.float32),
+            trans=np.asarray(fr.trans, np.float32),
+            vel=np.asarray(fr.vel, np.float32),
+            imu=imu,
+            imu_whitener=whit,
+            imu_valid=np.asarray(valid, np.float32),
+            dvl=np.asarray(fr.dvl, np.float32),
+            feat_ids=ids,
+            feat_meas=meas,
+            feat_init=init,
+            feat_mask=fmask,
+        )
+
+    def _init_device_state(self):
+        """One-time upload of the current W-frame window + marginal."""
+        frames = list(self._frames)[:-1]      # all but the just-appended one
+        recs = [self._frame_record_arrays(fr) for fr in frames]
+        stack = lambda name: np.stack([getattr(r, name) for r in recs])  # noqa: E731
+        m = self._marg
+        state = DeviceWindowState(
+            quat=stack("quat"), trans=stack("trans"), vel=stack("vel"),
+            bias=np.asarray(m["bias"], np.float32),
+            imu=stack("imu"), imu_whitener=stack("imu_whitener"),
+            imu_valid=stack("imu_valid"), dvl=stack("dvl"),
+            feat_ids=stack("feat_ids"), feat_meas=stack("feat_meas"),
+            feat_init=stack("feat_init"), feat_mask=stack("feat_mask"),
+            marg_sqrt_info=np.asarray(m["sqrt_info"], np.float32),
+            marg_quat=np.asarray(m["pose_quat"], np.float32),
+            marg_trans=np.asarray(m["pose_trans"], np.float32),
+            marg_vel=np.asarray(m["vel"], np.float32),
+            marg_bias=np.asarray(m["bias"], np.float32),
+        )
+        self._dev_state = jax.device_put(state)
+
+    def _device_step(self) -> Values:
+        from uslam_tpu.graph.packing import PackedPytree
+
+        if self._dev_state is None:
+            self._init_device_state()
+        cfg = self.config
+        rec = self._frame_record_arrays(self._frames[-1])
+        self._dev_state, outputs = _device_window_step(
+            self._dev_state, PackedPytree.pack(rec), self.cam,
+            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+            cfg.solver, cfg,
+        )
+        pq, pt, vv, departing, _stats = jax.device_get(outputs)
+
+        # Roll the host mirror (kept for full_trajectory / API parity).
+        self._frames.popleft()
+        for i, fr in enumerate(self._frames):
+            fr.quat, fr.trans, fr.vel = pq[i + 1], pt[i + 1], vv[i + 1]
+        self._trajectory.append(np.asarray(departing, np.float64))
+        return Values(
+            pose_quat=pq, pose_trans=pt, vel=vv,
+            bias=np.zeros(6, np.float32), landmarks=np.zeros((1, 3), np.float32),
+        )
 
     # ------------------------------------------------------------------
 
@@ -313,3 +422,299 @@ class FixedLagSmoother:
         done = self.trajectory[:, 4:7] if len(self._trajectory) else np.zeros((0, 3))
         cur = np.stack([f.trans for f in self._frames]) if self._frames else np.zeros((0, 3))
         return np.concatenate([done, cur], axis=0)
+
+
+# ==========================================================================
+# Device-resident rolling window (steady state)
+# ==========================================================================
+#
+# The host path above rebuilds the window graph in numpy and ships it every
+# keyframe (~2 uploads + 1 fetch; plus host GraphBuilder time). On a
+# high-latency device link every round trip is ~27 ms, so the online
+# keyframe latency was dominated by transport. Here the whole window state
+# lives ON DEVICE between keyframes: the host uploads ONE consolidated
+# record (the new keyframe's measurements), and one compiled program rolls
+# the window, re-builds the graph arrays device-side (landmark interning
+# via sized unique + rank grouping), runs the production LM, computes the
+# dropped-factor marginal, PSD-projects it, and hands back only the small
+# estimate arrays — 1 upload + 1 fetch per keyframe.
+
+from typing import NamedTuple  # noqa: E402
+
+_ID_SENTINEL = np.int32(np.iinfo(np.int32).max)
+
+
+class DeviceWindowState(NamedTuple):
+    """Everything the steady-state window needs, resident on device.
+    Frame axis length = window W (post-marginalization)."""
+
+    quat: jnp.ndarray          # (W, 4)
+    trans: jnp.ndarray         # (W, 3)
+    vel: jnp.ndarray           # (W, 3)
+    bias: jnp.ndarray          # (6,)
+    imu: jnp.ndarray           # (W, S, 7) samples that arrived AT frame i
+    imu_whitener: jnp.ndarray  # (W, 9, 9)
+    imu_valid: jnp.ndarray     # (W,)
+    dvl: jnp.ndarray           # (W, 3)
+    feat_ids: jnp.ndarray      # (W, Kf) int32, _ID_SENTINEL padding
+    feat_meas: jnp.ndarray     # (W, Kf, 3) pixels (uL, uR, v)
+    feat_init: jnp.ndarray     # (W, Kf, 3) world init
+    feat_mask: jnp.ndarray     # (W, Kf)
+    marg_sqrt_info: jnp.ndarray  # (15, 15)
+    marg_quat: jnp.ndarray     # (4,)
+    marg_trans: jnp.ndarray    # (3,)
+    marg_vel: jnp.ndarray      # (3,)
+    marg_bias: jnp.ndarray     # (6,)
+
+
+class DeviceWindowRecord(NamedTuple):
+    """One new keyframe, host-built, shipped as a consolidated upload."""
+
+    quat: jnp.ndarray          # (4,)
+    trans: jnp.ndarray         # (3,)
+    vel: jnp.ndarray           # (3,)
+    imu: jnp.ndarray           # (S, 7)
+    imu_whitener: jnp.ndarray  # (9, 9)
+    imu_valid: jnp.ndarray     # ()
+    dvl: jnp.ndarray           # (3,)
+    feat_ids: jnp.ndarray      # (Kf,)
+    feat_meas: jnp.ndarray     # (Kf, 3)
+    feat_init: jnp.ndarray     # (Kf, 3)
+    feat_mask: jnp.ndarray     # (Kf,)
+
+
+def _device_window_graph(st: DeviceWindowState, rec: DeviceWindowRecord, cfg):
+    """(W+1)-frame GraphArrays + Values built entirely on device."""
+    from uslam_tpu.factors.imu import ImuIntervalData
+    from uslam_tpu.graph.builder import (
+        DvlMeasurements, GraphArrays, ImuIntervals, Priors, StereoObservations,
+    )
+
+    W, Kf = st.feat_ids.shape
+    n = W + 1
+    f32 = st.trans.dtype
+
+    quat = jnp.concatenate([st.quat, rec.quat[None]], 0)
+    trans = jnp.concatenate([st.trans, rec.trans[None]], 0)
+    vel = jnp.concatenate([st.vel, rec.vel[None]], 0)
+    imu = jnp.concatenate([st.imu, rec.imu[None]], 0)
+    whit = jnp.concatenate([st.imu_whitener, rec.imu_whitener[None]], 0)
+    imu_valid = jnp.concatenate([st.imu_valid, rec.imu_valid[None]], 0)
+    dvl = jnp.concatenate([st.dvl, rec.dvl[None]], 0)
+    ids = jnp.concatenate([st.feat_ids, rec.feat_ids[None]], 0)
+    meas = jnp.concatenate([st.feat_meas, rec.feat_meas[None]], 0)
+    init = jnp.concatenate([st.feat_init, rec.feat_init[None]], 0)
+    fmask = jnp.concatenate([st.feat_mask, rec.feat_mask[None]], 0)
+
+    noise = cfg.noise
+    priors = Priors(
+        pose_quat=quat[0],
+        pose_trans=trans[0],
+        # Steady state: explicit first-frame priors are OFF — the marginal
+        # carries them (adding both would double-count, see
+        # _marginal_information).
+        pose_sigmas=jnp.full((6,), 1e6, f32),
+        vel=vel[0],
+        vel_sigma=jnp.asarray(1e6, f32),
+        bias=st.bias,
+        bias_weight=jnp.asarray(0.0, f32),
+        marg_sqrt_info=st.marg_sqrt_info,
+        marg_pose_quat=st.marg_quat,
+        marg_pose_trans=st.marg_trans,
+        marg_vel=st.marg_vel,
+        marg_bias=st.marg_bias,
+        marg_weight=jnp.asarray(1.0, f32),
+    )
+    imu_iv = ImuIntervals(
+        data=ImuIntervalData(
+            acc=imu[1:, :, 0:3], gyro=imu[1:, :, 3:6], dt=imu[1:, :, 6]
+        ),
+        whitener=whit[1:],
+        mask=imu_valid[1:],
+    )
+    dvl_arr = DvlMeasurements(
+        vel_body=dvl,
+        mask=jnp.concatenate([jnp.zeros((1,), f32), jnp.ones((n - 1,), f32)]),
+    )
+
+    # ---- stereo: flatten, intern ids, group by landmark -------------------
+    F = n * Kf
+    frame_of = jnp.repeat(jnp.arange(n, dtype=jnp.int32), Kf)
+    obs_ok = (fmask.reshape(-1) > 0) & (frame_of >= 1)   # i >= 1 cadence
+    ids_flat = jnp.where(obs_ok, ids.reshape(-1), _ID_SENTINEL)
+    M = W * Kf + 1                                       # >= 1 sentinel slot
+    uniq = jnp.unique(ids_flat, size=M, fill_value=_ID_SENTINEL)
+    rows = jnp.clip(jnp.searchsorted(uniq, ids_flat), 0, M - 1).astype(jnp.int32)
+
+    # Occurrence rank within each landmark's obs (O(F^2), F = (W+1)*Kf).
+    same = (rows[None, :] == rows[:, None]) & obs_ok[None, :]
+    rank = jnp.sum(
+        same & (jnp.arange(F)[None, :] < jnp.arange(F)[:, None]), axis=1
+    )
+    K = n  # a landmark appears at most once per frame
+    lm_obs_idx = (
+        jnp.zeros((M, K), jnp.int32)
+        .at[rows, jnp.clip(rank, 0, K - 1)]
+        .set(jnp.arange(F, dtype=jnp.int32), mode="drop")
+    )
+    lm_obs_mask = (
+        jnp.zeros((M, K), f32)
+        .at[rows, jnp.clip(rank, 0, K - 1)]
+        .set(obs_ok.astype(f32), mode="drop")
+    )
+    # Only writes from valid obs with rank < K survive; ranks >= K only
+    # occur for the sentinel group, whose mask stays 0 via obs_ok.
+    lm_obs_mask = lm_obs_mask * (uniq != _ID_SENTINEL)[:, None]
+
+    # Landmark init = first (lowest flat index) observation's init point.
+    first_obs = (
+        jnp.full((M,), F, jnp.int32)
+        .at[rows]
+        .min(jnp.where(obs_ok, jnp.arange(F, dtype=jnp.int32), F), mode="drop")
+    )
+    lm_init = init.reshape(F, 3)[jnp.clip(first_obs, 0, F - 1)]
+    lm_init = lm_init * (first_obs < F)[:, None]
+
+    stereo = StereoObservations(
+        cam_idx=frame_of,
+        lm_idx=rows,
+        meas=meas.reshape(F, 3) * obs_ok[:, None],
+        mask=obs_ok.astype(f32),
+        lm_obs_idx=lm_obs_idx,
+        lm_obs_mask=lm_obs_mask,
+    )
+    graph = GraphArrays(priors=priors, imu=imu_iv, dvl=dvl_arr, stereo=stereo)
+    values = Values(
+        pose_quat=quat, pose_trans=trans, vel=vel, bias=st.bias, landmarks=lm_init
+    )
+    arrays = dict(
+        imu=imu, whit=whit, imu_valid=imu_valid, dvl=dvl,
+        ids=ids, meas=meas, init=init, fmask=fmask,
+    )
+    return graph, values, arrays
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg", "config"),
+    donate_argnums=(0,),
+)
+def _device_window_step(
+    state, packed_record, cam, dvl_sigma, stereo_sigma, gravity,
+    solver_cfg, config,
+):
+    """One steady-state keyframe, entirely on device.
+
+    ``state`` is a DeviceWindowState of device-resident arrays (donated —
+    the rolled buffers reuse them); only ``packed_record`` (the new
+    keyframe, a consolidated PackedPytree) crosses host->device. Returns
+    (new_state, outputs), outputs = (window quat/trans/vel, departing
+    finalized frame (10,), stats) — fetched in ONE device_get by the
+    caller."""
+    st: DeviceWindowState = state
+    rec: DeviceWindowRecord = packed_record.unpack()
+    graph, initial, _ = _device_window_graph(st, rec, config)
+
+    with jax.default_matmul_precision("highest"):
+        values, stats = optimize_lm(
+            graph, initial, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg
+        )
+        Lam = _marginal_information(
+            graph, values, cam, dvl_sigma, stereo_sigma, gravity
+        )
+        # PSD projection on device (sparsification can leave tiny negative
+        # eigenvalues; 15x15 eigh is trivial).
+        w, V = jnp.linalg.eigh(0.5 * (Lam + Lam.T))
+        sqrt_info = (V * jnp.sqrt(jnp.clip(w, 0.0, None))).T
+
+    new_state = DeviceWindowState(
+        quat=values.pose_quat[1:],
+        trans=values.pose_trans[1:],
+        vel=values.vel[1:],
+        bias=values.bias,
+        imu=jnp.concatenate([st.imu[1:], rec.imu[None]], 0),
+        imu_whitener=jnp.concatenate(
+            [st.imu_whitener[1:], rec.imu_whitener[None]], 0
+        ),
+        imu_valid=jnp.concatenate([st.imu_valid[1:], rec.imu_valid[None]], 0),
+        dvl=jnp.concatenate([st.dvl[1:], rec.dvl[None]], 0),
+        feat_ids=jnp.concatenate([st.feat_ids[1:], rec.feat_ids[None]], 0),
+        feat_meas=jnp.concatenate([st.feat_meas[1:], rec.feat_meas[None]], 0),
+        feat_init=jnp.concatenate([st.feat_init[1:], rec.feat_init[None]], 0),
+        feat_mask=jnp.concatenate([st.feat_mask[1:], rec.feat_mask[None]], 0),
+        marg_sqrt_info=sqrt_info,
+        marg_quat=values.pose_quat[1],
+        marg_trans=values.pose_trans[1],
+        marg_vel=values.vel[1],
+        marg_bias=values.bias,
+    )
+    departing = jnp.concatenate(
+        [values.pose_quat[0], values.pose_trans[0], values.vel[0]]
+    )
+    outputs = (values.pose_quat, values.pose_trans, values.vel, departing, stats)
+    return new_state, outputs
+
+
+# ==========================================================================
+# Checkpoint / resume (SURVEY.md §5: fixed-lag state snapshot)
+# ==========================================================================
+
+
+def save_smoother_state(path: str, sm: FixedLagSmoother) -> None:
+    """Serialize the smoother's resumable state (window keyframes, marginal
+    prior, finalized trajectory) to one npz. The device-resident mirror is
+    rebuilt lazily on the first steady-state step after load."""
+    arrays: dict[str, np.ndarray] = {
+        "window": np.asarray(sm.window),
+        "n_frames": np.asarray(len(sm._frames)),
+        "trajectory": (
+            np.stack(sm._trajectory) if sm._trajectory else np.zeros((0, 10))
+        ),
+        "has_marg": np.asarray(1 if sm._marg is not None else 0),
+    }
+    if sm._marg is not None:
+        for k, v in sm._marg.items():
+            arrays[f"marg_{k}"] = np.asarray(v)
+    for i, fr in enumerate(sm._frames):
+        arrays[f"f{i}_quat"] = fr.quat
+        arrays[f"f{i}_trans"] = fr.trans
+        arrays[f"f{i}_vel"] = fr.vel
+        arrays[f"f{i}_imu"] = fr.imu if fr.imu is not None else np.zeros((0, 7))
+        arrays[f"f{i}_dvl"] = fr.dvl
+        feats = fr.features or []
+        arrays[f"f{i}_feat"] = np.array(
+            [[f[0], f[1], f[2], f[3], *np.asarray(f[4], np.float64)] for f in feats],
+            np.float64,
+        ).reshape(len(feats), 7)
+    np.savez_compressed(path, **arrays)
+
+
+def load_smoother_state(path: str, config: UslamConfig, **kwargs) -> FixedLagSmoother:
+    """Rebuild a FixedLagSmoother from :func:`save_smoother_state` output.
+    Extra kwargs (solve_during_fill, device_resident, ...) pass through."""
+    z = np.load(path, allow_pickle=False)
+    sm = FixedLagSmoother(config, window=int(z["window"]), **kwargs)
+    for row in z["trajectory"]:
+        sm._trajectory.append(row)
+    if int(z["has_marg"]):
+        sm._marg = {
+            k[len("marg_"):]: z[k] for k in z.files if k.startswith("marg_")
+        }
+    for i in range(int(z["n_frames"])):
+        feats_arr = z[f"f{i}_feat"]
+        feats = [
+            (int(r[0]), float(r[1]), float(r[2]), float(r[3]), r[4:7])
+            for r in feats_arr
+        ] or None
+        imu = z[f"f{i}_imu"]
+        sm._frames.append(
+            _Keyframe(
+                quat=z[f"f{i}_quat"],
+                trans=z[f"f{i}_trans"],
+                vel=z[f"f{i}_vel"],
+                imu=imu if len(imu) else None,
+                dvl=z[f"f{i}_dvl"],
+                features=feats,
+            )
+        )
+    return sm
