@@ -21,3 +21,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles
+# (the f64 production-LM while_loops in test_parallel alone are ~30 min of
+# compile on this 1-core box). The cache DOES reload on CPU here — the
+# "Target machine feature +prefer-no-scatter ..." error the AOT loader
+# logs is non-fatal (those are LLVM tuning pseudo-features, not CPUID
+# features; compile and execution happen on the same machine). Measured:
+# a 17 s compile reloads in 0.2 s.
+_CACHE_DIR = os.environ.get("UslAM_TEST_JAX_CACHE", "/root/.cache/uslam_jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax
+    pass

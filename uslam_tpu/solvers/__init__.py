@@ -19,3 +19,8 @@ from uslam_tpu.solvers.linearize import (  # noqa: F401
 from uslam_tpu.solvers.dense import assemble_dense, solve_dense_gn  # noqa: F401
 from uslam_tpu.solvers.schur import solve_schur  # noqa: F401
 from uslam_tpu.solvers.lm import LMState, optimize_lm  # noqa: F401
+from uslam_tpu.solvers.marginals import (  # noqa: F401
+    MarginalCovariances,
+    marginal_covariances,
+    marginal_sigmas,
+)
