@@ -35,3 +35,20 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # pragma: no cover - older jax
     pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_between_modules():
+    """Release compiled-executable memory maps between test modules.
+
+    Every live XLA:CPU executable holds JIT code pages (several mmap
+    regions each); a full single-process suite run accumulates enough to
+    hit the kernel's vm.max_map_count ceiling (65530 default) around the
+    140th test, at which point the next mmap failure inside LLVM is a
+    SEGFAULT (measured: workers reach tens of thousands of maps).
+    Clearing jax's jit caches per module unmaps dead executables; the
+    persistent compile cache makes re-loading cheap."""
+    yield
+    jax.clear_caches()
