@@ -170,7 +170,10 @@ def main() -> None:
     if scale_spec:
         import dataclasses
 
-        from uslam_tpu.solvers.banded import measure_band_width
+        from uslam_tpu.solvers.banded import (
+            measure_band_width,
+            measure_corr_window,
+        )
 
         for n_scale in [int(x) for x in scale_spec.split(",") if x]:
             try:
@@ -194,8 +197,10 @@ def main() -> None:
                 sgraph, sinit, _so, _ = pack_sequence(sseq, cfg)
                 s_ingest = time.perf_counter() - t0
                 bw = measure_band_width(sgraph.stereo)
+                cw = measure_corr_window(sgraph.stereo)
                 scfg = dataclasses.replace(
-                    cfg.solver, reduced_solver="banded", band_width=bw
+                    cfg.solver, reduced_solver="banded", band_width=bw,
+                    banded_corr_window=cw,
                 )
                 log(
                     f"bench[scale {n_scale}]: {sinit.num_poses} poses, "

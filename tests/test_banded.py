@@ -81,6 +81,25 @@ class TestBandedSolver:
                     np.linalg.norm(np.asarray(d0))
                 )
                 assert rel < 1e-8, (panel, rel)
+            # Windowed correction placement (measured chunk frame span,
+            # small chunks so several windows are exercised) must be
+            # EXACTLY the same math as full-width placement.
+            from uslam_tpu.solvers.banded import measure_corr_window
+
+            cw = measure_corr_window(stereo, lm_chunk=4)
+            assert cw < n
+            d2 = solve_schur_banded(
+                lin, stereo, n, m, 1e-2, band_w=bw, panel=8,
+                diag_damping=True, jitter=1e-12, refine_iters=3,
+                corr_window=cw, corr_lm_chunk=4,
+            )
+            d1 = solve_schur_banded(
+                lin, stereo, n, m, 1e-2, band_w=bw, panel=8,
+                diag_damping=True, jitter=1e-12, refine_iters=3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(d2), np.asarray(d1), rtol=1e-9, atol=1e-12
+            )
 
     def test_band_width_measurement(self):
         rng = np.random.default_rng(3)

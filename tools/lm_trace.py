@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--refine", type=int, default=10)
     ap.add_argument("--jitter", type=float, default=1e-7)
     ap.add_argument("--identity-damping", action="store_true")
+    ap.add_argument("--trajectory", default="orbit", choices=["orbit", "survey"])
+    ap.add_argument("--max-feature-depth", type=float, default=None)
     ap.add_argument("--lam-min", type=float, default=1e-7)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument(
@@ -62,7 +64,11 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
 
     keyframe_rate = 5.0
+    extra = {}
+    if args.max_feature_depth is not None:
+        extra["max_feature_depth"] = args.max_feature_depth
     spec = SyntheticSpec(
+        trajectory=args.trajectory,
         duration=args.poses / keyframe_rate,
         keyframe_rate=keyframe_rate,
         num_landmarks=args.landmarks,
@@ -70,6 +76,7 @@ def main() -> None:
         odom_drift_rate=args.drift,
         feature_noise_px=args.noise,
         seed=0,
+        **extra,
     )
     seq = generate_synthetic_sequence(spec)
     cfg = UslamConfig()

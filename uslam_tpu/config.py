@@ -172,6 +172,12 @@ class SolverConfig:
     # Panel size (frames) for the banded factorization; 0 = next power of
     # two >= max(band_width, 16).
     banded_panel: int = 0
+    # Frame-window width for the banded Schur-correction placement
+    # one-hot (solvers.banded.measure_corr_window on the packed graph;
+    # landmark interning follows first appearance so chunks are
+    # trajectory-local). 0 = full-width placement (always safe); a
+    # measured window cuts the placement FLOPs by ~N/window.
+    banded_corr_window: int = 0
     # Eliminate the velocity chain (dense scaled Cholesky of the 3N
     # velocity block + one symmetric G^T G correction matmul) before the
     # reduced factorization: the big Cholesky shrinks from 9N+6 to 6N+6

@@ -167,14 +167,19 @@ class AUVSlam:
         cfg = self.config
         solver_cfg = cfg.solver
         if solver_cfg.reduced_solver == "banded" and solver_cfg.band_width <= 0:
-            # Auto band width: measured max track span of the packed graph
-            # (host-side; the width is a static jit parameter).
+            # Auto band width + correction window: measured off the packed
+            # graph (host-side; both are static jit parameters).
             import dataclasses
 
-            from uslam_tpu.solvers.banded import measure_band_width
+            from uslam_tpu.solvers.banded import (
+                measure_band_width,
+                measure_corr_window,
+            )
 
             solver_cfg = dataclasses.replace(
-                solver_cfg, band_width=measure_band_width(graph.stereo)
+                solver_cfg,
+                band_width=measure_band_width(graph.stereo),
+                banded_corr_window=measure_corr_window(graph.stereo),
             )
         t0 = time.perf_counter()
         values, stats = run_solver(

@@ -72,7 +72,12 @@ def measure_band_width(stereo: StereoObservations) -> int:
 def _landmark_parts(lin: Linearization, stereo: StereoObservations, damping,
                     diag_damping: bool):
     """Per-landmark damped elimination quantities, kept in (M, K) group
-    layout: Hll_inv (M,3,3), g_l (M,3), W (M,K,6,3), Y = W Hll_inv."""
+    layout: Hll_inv (M,3,3), g_l (M,3), W (M,K,6,3), Y = W Hll_inv.
+
+    (A flat per-observation layout was tried and measured WORSE: the flat
+    slot count is ~M*K at survey scale anyway — the grid budget fills
+    most track slots — and the per-row partner gathers it needs are slow
+    on TPU.)"""
     Jp, Jl, r = lin.stereo_J_pose, lin.stereo_J_lm, lin.stereo_r
     dtype = r.dtype
     lam = jnp.asarray(damping, dtype)
@@ -117,7 +122,7 @@ def _chunked_frame_sum(values: jnp.ndarray, frames: jnp.ndarray, n: int,
 
 
 def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
-                     lm_chunk: int = 128):
+                     lm_chunk: int = 128, corr_window: int = 0):
     """Landmark Schur correction as (band, gradient) — never dense (6N)^2.
 
     Returns (B_corr (N, band_w+1, 6, 6) upper band offsets 0..band_w,
@@ -126,6 +131,15 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
     transposes (restored at panelization). Pairs with span > band_w are
     masked OUT — callers must pass band_w >= measure_band_width(stereo) or
     mass is silently lost (lm.py validates host-side).
+
+    ``corr_window`` (static): the dominant cost here is the frame-
+    placement one-hot matmul, rows x N x (wp1*36) FLOPs. Landmark indices
+    are interned in first-appearance order, so each lm_chunk's
+    observations span a narrow frame window; with corr_window >=
+    ``measure_corr_window(stereo, lm_chunk)`` the one-hot runs at that
+    width and the chunk's contribution lands via a dynamic-slice add —
+    an ~N/window FLOP cut (~8x at the 2k survey scale). 0 = full-width
+    placement (always safe).
     """
     m, K = cam_g.shape
     dtype = W.dtype
@@ -139,8 +153,10 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
         n,
     )
 
+    windowed = 0 < corr_window < n
     offs = jnp.arange(wp1)
-    B = jnp.zeros((n, wp1, POSE_DIM * POSE_DIM), dtype)
+    X = wp1 * 36
+    B = jnp.zeros((n, X), dtype)
     for s in range(0, m, lm_chunk):
         Yc = Y[s : s + lm_chunk]                          # (Mc,K,6,3)
         Wc = W[s : s + lm_chunk]
@@ -158,11 +174,52 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
         Cd = jnp.einsum(
             "mklx,mkld->mkdx", C.reshape(*C.shape[:3], 36), oh_d,
             precision=jax.lax.Precision.HIGH,
-        )                                                 # (Mc,K,wp1,36)
-        B = B + _chunked_frame_sum(
-            Cd.reshape(-1, wp1 * 36), cg.reshape(-1), n
-        ).reshape(n, wp1, 36)
+        ).reshape(-1, X)                                  # (Mc*K, X)
+        rows = cg.reshape(-1)
+        valid = (mk.reshape(-1) > 0)
+        if windowed:
+            # Chunk obs live in [base, base + corr_window) by the measured
+            # bound; place with a narrow one-hot + dynamic-slice add.
+            base = jnp.min(jnp.where(valid, rows, n))
+            base = jnp.clip(base, 0, max(n - corr_window, 0))
+            rel = jnp.where(valid, rows - base, corr_window)  # pad -> OOB
+            onehot = (
+                rel[:, None] == jnp.arange(corr_window)[None, :]
+            ).astype(dtype)
+            contrib = jax.lax.dot_general(
+                onehot, Cd, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGH,
+            )                                             # (window, X)
+            zero = jnp.zeros((), base.dtype)
+            patch = jax.lax.dynamic_slice(
+                B, (base, zero), (corr_window, X)
+            ) + contrib
+            B = jax.lax.dynamic_update_slice(B, patch, (base, zero))
+        else:
+            B = B + _chunked_frame_sum(Cd, rows, n)
     return B.reshape(n, wp1, POSE_DIM, POSE_DIM), g_corr
+
+
+def measure_corr_window(stereo: StereoObservations, lm_chunk: int = 128) -> int:
+    """Max frame span (inclusive width) of any lm_chunk's observations —
+    the safe static ``corr_window`` for :func:`_band_correction`.
+    Host-side, on concrete arrays. Landmark interning follows first
+    appearance, so this is typically chunk-trajectory-local and far
+    smaller than N; worst case it equals N (then windowing is a no-op)."""
+    cam = np.asarray(stereo.cam_idx)
+    mask = np.asarray(stereo.lm_obs_mask) > 0
+    cam_g = cam[np.asarray(stereo.lm_obs_idx)]
+    m = cam_g.shape[0]
+    width = 1
+    for s in range(0, m, lm_chunk):
+        mk = mask[s : s + lm_chunk]
+        if not mk.any():
+            continue
+        cg = cam_g[s : s + lm_chunk]
+        lo = np.where(mk, cg, np.iinfo(np.int32).max).min()
+        hi = np.where(mk, cg, -1).max()
+        width = max(width, int(hi - lo) + 1)
+    return width
 
 
 # --------------------------------------------------------------------------
@@ -230,30 +287,56 @@ def _frame_band(bands: CamBands, B_corr, g_corr, n: int, band_w: int):
 def _panelize(band, P: int):
     """(N, wp1, 9, 9) upper band -> block-tridiagonal panels
     D (Np, 9P, 9P) full-symmetric diagonal blocks, O (Np-1, 9P, 9P)
-    super-diagonal blocks. Static compile-time loop over offsets; placement
-    via one-hot eye matmuls (no scatter)."""
+    super-diagonal blocks.
+
+    Placement is a SHEAR-RESHAPE (the expand_cam_dense trick): pad the
+    offset axis of the per-panel block rows to width P + wp1, flatten,
+    and re-view with row stride Q-1 — each row lands shifted one block
+    further right, turning offset coordinates into absolute panel
+    columns with zero compute. The one-hot-matmul loop over offsets this
+    replaces moved ~85 MB per offset (~40 ms at the 2k survey scale),
+    and a take_along_axis gather formulation measured ~780 ms (TPU
+    per-element gathers) — the shear is a single ~130 MB pass.
+    """
     n, wp1 = band.shape[:2]
     dtype = band.dtype
     Np = -(-n // P)
     n_pad = Np * P
     band_p = jnp.pad(band, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
-    blocks = band_p.reshape(Np, P, wp1, FRAME_DIM, FRAME_DIM)
+    B2 = FRAME_DIM * FRAME_DIM
+    blocks = band_p.reshape(Np, P, wp1, B2)
 
-    a_idx = jnp.arange(P)
-    D = jnp.zeros((Np, P, FRAME_DIM, P, FRAME_DIM), dtype)
-    O = jnp.zeros((max(Np - 1, 1), P, FRAME_DIM, P, FRAME_DIM), dtype)
-    for d in range(wp1):
-        Bd = blocks[:, :, d]                              # (Np, P, 9, 9)
-        in_panel = (a_idx[:, None] + d == a_idx[None, :]).astype(dtype)  # (P,P)
-        contrib = jnp.einsum("jpab,pq->jpaqb", Bd, in_panel)
-        D = D + contrib
-        if d > 0:
-            # Symmetric mirror inside the panel.
-            D = D + contrib.transpose(0, 3, 4, 1, 2)
-            cross = (a_idx[:, None] + d - P == a_idx[None, :]).astype(dtype)
-            O = O + jnp.einsum("jpab,pq->jpaqb", Bd[:-1], cross)
-    D = D.reshape(Np, P * FRAME_DIM, P * FRAME_DIM)
-    O = O.reshape(-1, P * FRAME_DIM, P * FRAME_DIM)[: Np - 1]
+    # Shear: A (Np, P, Q, 81) flattened with row stride Q views as rows
+    # shifted by one block-column each — sheared[j, p, q] = band[j, p, q-p]
+    # (zeros outside 0 <= q-p < wp1; the pad provides them exactly).
+    Q = P + wp1
+    A = jnp.pad(blocks, ((0, 0), (0, 0), (0, Q - wp1), (0, 0)))
+    sheared = (
+        A.reshape(Np, P * Q, B2)[:, : P * (Q - 1)]
+        .reshape(Np, P, Q - 1, FRAME_DIM, FRAME_DIM)
+    )
+
+    Du = sheared[:, :, :P]                                # (Np, P, P, 9, 9)
+    off = jnp.arange(P)[None, :] - jnp.arange(P)[:, None]  # q - p
+    strict = (off > 0).astype(dtype)[None, :, :, None, None]
+    D5 = Du + (Du * strict).transpose(0, 2, 1, 4, 3)       # symmetric mirror
+    D = D5.transpose(0, 1, 3, 2, 4).reshape(
+        Np, P * FRAME_DIM, P * FRAME_DIM
+    )
+
+    if Np > 1:
+        # Cross-panel block: O[j, p, q'] = band[j, p, (q' + P) - p] — the
+        # shear's overflow columns P..P+wp1-2 (panel >= band_w guarantees
+        # wp1 - 1 <= P).
+        cross = sheared[:-1, :, P:]                        # (Np-1, P, wp1-1, 9, 9)
+        O5 = jnp.pad(
+            cross, ((0, 0), (0, 0), (0, P - (wp1 - 1)), (0, 0), (0, 0))
+        )
+        O = O5.transpose(0, 1, 3, 2, 4).reshape(
+            Np - 1, P * FRAME_DIM, P * FRAME_DIM
+        )
+    else:
+        O = jnp.zeros((0, P * FRAME_DIM, P * FRAME_DIM), dtype)
     return D, O
 
 
@@ -263,48 +346,66 @@ def _panelize(band, P: int):
 
 
 def block_tridiag_factor(D, O, unroll: int = 1):
-    """Thomas forward factorization: returns the stacked Schur-complement
-    inverses t_inv (Np, d, d). D must be SPD-damped; no pivoting."""
+    """Thomas forward factorization: returns stacked lower Cholesky
+    factors L (Np, d, d) of the Schur-complemented diagonal panels
+    t_k = D_k - O_{k-1}^T t_{k-1}^{-1} O_{k-1}. D must be SPD-damped.
+
+    Cholesky-based, not ``jnp.linalg.inv``: the subtraction uses
+    u = L_{k-1}^{-1} O_{k-1} so the correction is one triangular solve +
+    one SYRK (u^T u) on the MXU, and the panel inverse is never formed —
+    LU-with-pivoting inversion measured ~3x slower per scan step on v5e.
+    """
     npan, d, _ = D.shape
     off_p = jnp.concatenate([jnp.zeros((1, d, d), D.dtype), O], axis=0)
 
-    def fwd(t_inv_prev, inp):
+    def fwd(L_prev, inp):
         d_k, c_k = inp                                    # c_k = O[k-1]
-        t_k = d_k - c_k.T @ (t_inv_prev @ c_k)
-        t_inv = jnp.linalg.inv(t_k)
-        return t_inv, t_inv
+        u = jax.scipy.linalg.solve_triangular(L_prev, c_k, lower=True)
+        t_k = d_k - jax.lax.dot_general(
+            u, u, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        L_k = jnp.linalg.cholesky(t_k)
+        return L_k, L_k
 
-    _, t_inv = jax.lax.scan(
-        fwd, jnp.zeros((d, d), D.dtype), (D, off_p), unroll=unroll
+    # c_0 = 0, so the first step's triangular solve sees a zero rhs and
+    # any nonsingular L_prev seed works.
+    _, L = jax.lax.scan(
+        fwd, jnp.eye(d, dtype=D.dtype), (D, off_p), unroll=unroll
     )
-    return t_inv
+    return L
 
 
-def block_tridiag_apply(t_inv, O, rhs, unroll: int = 1):
-    """Solve A x = rhs given the Thomas factor (t_inv) — two cheap scans.
-    rhs (Np, d, K) -> (Np, d, K)."""
-    npan, d, _ = t_inv.shape
+def _cho_solve_one(L_k, b):
+    y = jax.scipy.linalg.solve_triangular(L_k, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L_k.T, y, lower=False)
+
+
+def block_tridiag_apply(L, O, rhs, unroll: int = 1):
+    """Solve A x = rhs given the Thomas factor (stacked panel Cholesky
+    factors L) — two cheap scans. rhs (Np, d, K) -> (Np, d, K)."""
+    npan, d, _ = L.shape
     k = rhs.shape[-1]
-    off_p = jnp.concatenate([jnp.zeros((1, d, d), t_inv.dtype), O], axis=0)
+    off_p = jnp.concatenate([jnp.zeros((1, d, d), L.dtype), O], axis=0)
 
     def fwd(u_prev, inp):
-        t_inv_k, c_k, r_k = inp
-        u = t_inv_k @ (r_k - c_k.T @ u_prev)
+        L_k, c_k, r_k = inp
+        u = _cho_solve_one(L_k, r_k - c_k.T @ u_prev)
         return u, u
 
     _, u = jax.lax.scan(
-        fwd, jnp.zeros((d, k), rhs.dtype), (t_inv, off_p, rhs), unroll=unroll
+        fwd, jnp.zeros((d, k), rhs.dtype), (L, off_p, rhs), unroll=unroll
     )
 
-    off_t = jnp.concatenate([O, jnp.zeros((1, d, d), t_inv.dtype)], axis=0)
+    off_t = jnp.concatenate([O, jnp.zeros((1, d, d), L.dtype)], axis=0)
 
     def bwd(x_next, inp):
-        t_inv_k, u_k, o_k = inp
-        x_k = u_k - t_inv_k @ (o_k @ x_next)
+        L_k, u_k, o_k = inp
+        x_k = u_k - _cho_solve_one(L_k, o_k @ x_next)
         return x_k, x_k
 
     _, x = jax.lax.scan(
-        bwd, jnp.zeros((d, k), rhs.dtype), (t_inv, u, off_t),
+        bwd, jnp.zeros((d, k), rhs.dtype), (L, u, off_t),
         reverse=True, unroll=unroll,
     )
     return x
@@ -346,13 +447,18 @@ def solve_schur_banded(
     jitter: float = 1e-7,
     diag_damping: bool = False,
     return_aux: bool = False,
+    corr_window: int = 0,
+    corr_lm_chunk: int = 128,
 ):
     """Banded drop-in for :func:`uslam_tpu.solvers.schur.solve_schur`
     (same delta layout [frames(9N), bias(6), landmarks(3M)]).
 
     ``band_w`` must be >= the max landmark track span in frames
     (``measure_band_width``); ``panel`` defaults to the next power of two
-    >= max(band_w, 16).
+    >= max(band_w, 16). ``corr_window`` (0 = off) narrows the band-
+    correction placement one-hot to a measured chunk frame span — pass
+    ``measure_corr_window(stereo)`` (host-side; lm.py plumbs
+    ``SolverConfig.banded_corr_window``).
     """
     n = num_poses
     dtype = lin.stereo_r.dtype
@@ -366,7 +472,8 @@ def solve_schur_banded(
     Hll_inv, g_l, W, Y = _landmark_parts(lin, stereo, damping, diag_damping)
     cam_g = stereo.cam_idx[stereo.lm_obs_idx]             # (M,K)
     B_corr, g_corr = _band_correction(
-        W, Y, g_l, cam_g, stereo.lm_obs_mask, n, band_w
+        W, Y, g_l, cam_g, stereo.lm_obs_mask, n, band_w,
+        corr_window=corr_window, lm_chunk=corr_lm_chunk,
     )
     bands = assemble_cam_bands(lin, stereo, n, damping, diag_damping)
     band, bias_col, bb, g, gb = _frame_band(bands, B_corr, g_corr, n, band_w)

@@ -131,6 +131,7 @@ def optimize_lm(
                 refine_iters=cfg.refine_iters,
                 jitter=jitter,
                 diag_damping=diag_damping,
+                corr_window=cfg.banded_corr_window,
             )
         if use_schur:
             return solve_schur(
