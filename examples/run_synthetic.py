@@ -60,6 +60,22 @@ def main() -> None:
     for k, v in result.metrics.items():
         print(f"  {k}: {v}")
 
+    # Pose uncertainty at the start/middle/end of the dive (gtsam.Marginals
+    # parity — f64 host recovery, solvers/marginals.py).
+    from uslam_tpu.pipeline import compute_marginals
+    from uslam_tpu.solvers.marginals import marginal_sigmas
+
+    n = result.values.num_poses
+    picks = (0, n // 2, n - 1)
+    marg = compute_marginals(result, cfg, pose_indices=picks)
+    sig = marginal_sigmas(marg.pose)
+    print("pose 1-sigma [rot(rad) | trans(m)]:")
+    for i, s in zip(picks, sig):
+        print(
+            f"  pose {i:4d}: rot ({s[0]:.4f}, {s[1]:.4f}, {s[2]:.4f})  "
+            f"trans ({s[3]:.4f}, {s[4]:.4f}, {s[5]:.4f})"
+        )
+
     plot_trajectory_3d(
         result.trajectory, result.odom_compare,
         save_path=os.path.join(args.out, "trajectory.png"),

@@ -239,36 +239,14 @@ class AUVSlam:
     ):
         """Marginal covariances at the solution (GTSAM ``Marginals``
         parity — the engine capability at reference batch.py:337; see
-        solvers/marginals.py).
-
-        Runs in f64 on the host CPU: covariance recovery solves selected
-        columns of the inverse THROUGH the weakly-observable global modes
-        (curvature ~1e-8 of the strong modes), which an f32 assembly
-        cannot represent — the same accuracy wall the f64-polish tail
-        exists for (solvers/polish.py). A one-shot post-solve query, so
-        the f64 host cost is irrelevant next to correctness.
-        """
-        from uslam_tpu.solvers.marginals import marginal_covariances
-        from uslam_tpu.solvers.polish import _to_dtype
-
-        cfg = self.config
-        cpu = jax.devices("cpu")[0]
-        with jax.enable_x64():
-            graph64 = jax.device_put(
-                _to_dtype(result.graph, jnp.float64), cpu
-            )
-            vals64 = jax.device_put(
-                _to_dtype(result.values, jnp.float64), cpu
-            )
-            return marginal_covariances(
-                graph64, vals64, self.cam,
-                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
-                pose_indices=pose_indices,
-                vel_indices=vel_indices,
-                landmark_indices=landmark_indices,
-                include_bias=include_bias,
-                jitter=0.0, refine_iters=2,
-            )
+        solvers/marginals.py and :func:`compute_marginals`)."""
+        return compute_marginals(
+            result, self.config,
+            pose_indices=pose_indices,
+            vel_indices=vel_indices,
+            landmark_indices=landmark_indices,
+            include_bias=include_bias,
+        )
 
     # ---- evaluation / export --------------------------------------------
 
@@ -299,6 +277,45 @@ class AUVSlam:
     def plot(self, result: SlamResult, save_path: str | None = None, show: bool = False):
         return plot_trajectory_3d(
             result.trajectory, result.odom_compare, save_path=save_path, show=show
+        )
+
+
+def compute_marginals(
+    result: SlamResult,
+    config: UslamConfig = DEFAULT_CONFIG,
+    pose_indices=(),
+    vel_indices=(),
+    landmark_indices=(),
+    include_bias: bool = False,
+):
+    """Marginal covariances of selected states at a ``SlamResult``'s
+    solution (GTSAM ``Marginals`` parity — reference batch.py:337's
+    engine capability; solvers/marginals.py).
+
+    Runs in f64 on the host CPU: covariance recovery solves selected
+    columns of the inverse THROUGH the weakly-observable global modes
+    (curvature ~1e-8 of the strong modes), which an f32 assembly cannot
+    represent — the same accuracy wall the f64-polish tail exists for
+    (solvers/polish.py). A one-shot post-solve query, so the f64 host
+    cost is irrelevant next to correctness.
+    """
+    from uslam_tpu.solvers.marginals import marginal_covariances
+    from uslam_tpu.solvers.polish import _to_dtype
+
+    cam = StereoCamera.from_config(config.camera)
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64():
+        graph64 = jax.device_put(_to_dtype(result.graph, jnp.float64), cpu)
+        vals64 = jax.device_put(_to_dtype(result.values, jnp.float64), cpu)
+        return marginal_covariances(
+            graph64, vals64, cam,
+            config.noise.dvl_sigma, config.noise.stereo_sigma,
+            config.imu.gravity,
+            pose_indices=pose_indices,
+            vel_indices=vel_indices,
+            landmark_indices=landmark_indices,
+            include_bias=include_bias,
+            jitter=0.0, refine_iters=2,
         )
 
 
