@@ -68,6 +68,107 @@ def test_sharded_step_matches_single_device():
     )
 
 
+@needs_mesh
+def test_sharded_banded_solve_matches_single_device():
+    """The BANDED reduced solver under landmark sharding (psum of the
+    correction band + all_gather of the landmark delta) must reproduce
+    the single-device banded solve exactly in f64 — incl. the windowed
+    correction placement and the return_aux g.delta."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tests.test_banded import _windowed_linearization
+    from uslam_tpu.parallel.mesh import shard_map
+    from uslam_tpu.solvers.banded import (
+        measure_band_width,
+        measure_corr_window,
+        solve_schur_banded,
+    )
+
+    with jax.enable_x64():
+        rng = np.random.default_rng(7)
+        n, m, K, span = 30, 16, 4, 5
+        lin, stereo = _windowed_linearization(rng, n, m, K, span)
+        lin = _to_f64(lin)
+        stereo = _to_f64(stereo)
+        bw = measure_band_width(stereo)
+        cw = measure_corr_window(stereo, lm_chunk=2)
+        kw = dict(
+            band_w=bw, panel=8, diag_damping=True, jitter=1e-12,
+            refine_iters=3, corr_window=cw, corr_lm_chunk=2,
+            return_aux=True,
+        )
+        d0, a0 = solve_schur_banded(lin, stereo, n, m, 1e-2, **kw)
+
+        mesh = make_mesh(8)
+        skel = stereo._replace(
+            lm_obs_idx=jnp.zeros((0,), stereo.lm_obs_idx.dtype),
+            lm_obs_mask=jnp.zeros((0,), stereo.lm_obs_mask.dtype),
+        )
+
+        def run(lin, skel, lm_obs_idx, lm_obs_mask):
+            st = skel._replace(
+                lm_obs_idx=lm_obs_idx, lm_obs_mask=lm_obs_mask
+            )
+            return solve_schur_banded(
+                lin, st, n, m, 1e-2, axis_name="devices", **kw
+            )
+
+        spec_rep = P()
+        run_sharded = shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: spec_rep, lin),
+                jax.tree.map(lambda _: spec_rep, skel),
+                P("devices"),
+                P("devices"),
+            ),
+            out_specs=(spec_rep, spec_rep),
+            check_vma=False,
+        )
+        d1, a1 = run_sharded(
+            lin, skel, stereo.lm_obs_idx, stereo.lm_obs_mask
+        )
+
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(a1), float(a0), rtol=1e-9)
+
+
+@needs_mesh
+def test_sharded_banded_production_lm_smoke():
+    """The FULL production LM policy with the banded reduced solver,
+    landmark-sharded: compiles, runs, converges to a finite solution.
+    (Exact sharded-vs-single equivalence of the banded LINEAR solve is
+    pinned in f64 above; this covers the lm.py plumbing end to end
+    without paying a second while_loop compile.)"""
+    import dataclasses
+
+    from uslam_tpu.solvers.banded import measure_band_width, measure_corr_window
+
+    slam, graph, initial, _ = build_graph(duration=3.0, drift=0.03,
+                                          feature_noise=0.3, seed=5)
+    cfg = slam.config
+    assert initial.num_landmarks % 8 == 0
+    bw = measure_band_width(graph.stereo)
+    scfg = dataclasses.replace(
+        cfg.solver, reduced_solver="banded", band_width=bw,
+        banded_corr_window=measure_corr_window(graph.stereo),
+        max_iterations=12, plateau_patience=3,
+    )
+    mesh = make_mesh(8)
+    g_sh, v_sh = shard_landmarks(graph, initial, mesh)
+    with jax.default_matmul_precision("highest"):
+        vals, stats = sharded_optimize_lm(
+            g_sh, v_sh, slam.cam,
+            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+            mesh, cfg=scfg,
+        )
+    assert np.isfinite(np.asarray(vals.pose_trans)).all()
+    assert float(stats.final_error) < float(stats.initial_error) * 1e-4
+
+
 def _to_f64(tree):
     import jax.numpy as jnp
 

@@ -16,10 +16,13 @@ elimination). Here the solve is sharded over **landmarks**:
   the landmark delta.
 
 The collectives live inside :func:`uslam_tpu.solvers.schur.solve_schur`
+and :func:`uslam_tpu.solvers.banded.solve_schur_banded`
 (``axis_name=...``), so the sharded path IS the production solver — the
 full LM policy (velocity elimination, Marquardt diag damping, the
 accept/reject ``lax.while_loop``, plateau stop) runs unmodified via
-:func:`sharded_optimize_lm`.
+:func:`sharded_optimize_lm`, with either reduced solver
+(``SolverConfig.reduced_solver``: dense Cholesky or the banded
+large-N factorization).
 
 The reference has no distributed anything (single-host ROS pub/sub,
 reference batch.py:319-326); this module is the TPU-native scaling story.

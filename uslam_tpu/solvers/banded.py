@@ -201,24 +201,29 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
 
 
 def measure_corr_window(stereo: StereoObservations, lm_chunk: int = 128) -> int:
-    """Max frame span (inclusive width) of any lm_chunk's observations —
-    the safe static ``corr_window`` for :func:`_band_correction`.
-    Host-side, on concrete arrays. Landmark interning follows first
-    appearance, so this is typically chunk-trajectory-local and far
-    smaller than N; worst case it equals N (then windowing is a no-op)."""
+    """Max frame span (inclusive width) of ANY ``lm_chunk`` consecutive
+    landmarks' observations — the safe static ``corr_window`` for
+    :func:`_band_correction`. Sliding-window (alignment-independent): the
+    sharded path slices the landmark axis contiguously per device, so
+    shard-local chunks start at arbitrary offsets. Host-side, on concrete
+    arrays. Landmark interning follows first appearance, so this is
+    typically chunk-trajectory-local and far smaller than N; worst case
+    it equals N (then windowing is a no-op)."""
     cam = np.asarray(stereo.cam_idx)
     mask = np.asarray(stereo.lm_obs_mask) > 0
     cam_g = cam[np.asarray(stereo.lm_obs_idx)]
     m = cam_g.shape[0]
+    if not mask.any():
+        return 1
+    big = np.iinfo(np.int64).max
+    lo_m = np.where(mask, cam_g, big).min(axis=1)          # (M,)
+    hi_m = np.where(mask, cam_g, -1).max(axis=1)
     width = 1
-    for s in range(0, m, lm_chunk):
-        mk = mask[s : s + lm_chunk]
-        if not mk.any():
-            continue
-        cg = cam_g[s : s + lm_chunk]
-        lo = np.where(mk, cg, np.iinfo(np.int32).max).min()
-        hi = np.where(mk, cg, -1).max()
-        width = max(width, int(hi - lo) + 1)
+    for s in range(max(m - lm_chunk + 1, 1)):
+        lo = lo_m[s : s + lm_chunk].min()
+        hi = hi_m[s : s + lm_chunk].max()
+        if hi >= 0 and lo < big:
+            width = max(width, int(hi - lo) + 1)
     return width
 
 
@@ -449,6 +454,7 @@ def solve_schur_banded(
     return_aux: bool = False,
     corr_window: int = 0,
     corr_lm_chunk: int = 128,
+    axis_name: str | None = None,
 ):
     """Banded drop-in for :func:`uslam_tpu.solvers.schur.solve_schur`
     (same delta layout [frames(9N), bias(6), landmarks(3M)]).
@@ -459,6 +465,14 @@ def solve_schur_banded(
     correction placement one-hot to a measured chunk frame span — pass
     ``measure_corr_window(stereo)`` (host-side; lm.py plumbs
     ``SolverConfig.banded_corr_window``).
+
+    ``axis_name``: when set, the call runs inside a ``shard_map`` whose
+    landmark grouping (``stereo.lm_obs_idx``/``lm_obs_mask``) is sharded
+    over that mesh axis (same contract as ``solve_schur``): landmark
+    elimination and the band correction are shard-local, ONE ``psum``
+    combines the (N, wp1) correction band + gradient (a few MB riding
+    ICI), the panel factorization is replicated, and the landmark delta
+    is ``all_gather``-ed.
     """
     n = num_poses
     dtype = lin.stereo_r.dtype
@@ -469,12 +483,17 @@ def solve_schur_banded(
     if panel < band_w:
         raise ValueError(f"panel {panel} < band_w {band_w}")
 
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     Hll_inv, g_l, W, Y = _landmark_parts(lin, stereo, damping, diag_damping)
-    cam_g = stereo.cam_idx[stereo.lm_obs_idx]             # (M,K)
+    cam_g = stereo.cam_idx[stereo.lm_obs_idx]             # (M_loc,K)
     B_corr, g_corr = _band_correction(
         W, Y, g_l, cam_g, stereo.lm_obs_mask, n, band_w,
         corr_window=corr_window, lm_chunk=corr_lm_chunk,
     )
+    B_corr = _psum(B_corr)
+    g_corr = _psum(g_corr)
     bands = assemble_cam_bands(lin, stereo, n, damping, diag_damping)
     band, bias_col, bb, g, gb = _frame_band(bands, B_corr, g_corr, n, band_w)
 
@@ -557,19 +576,25 @@ def solve_schur_banded(
     dpose = frames[:, :POSE_DIM]                          # (N, 6)
 
     # rhs_l = g_l - sum_k W_mk^T dpose[cam_g]; gather-based, no stacking.
-    dp_g = dpose[cam_g]                                   # (M,K,6)
-    t = jnp.einsum("mkab,mka->mb", W, dp_g)               # (M,3)
+    dp_g = dpose[cam_g]                                   # (M_loc,K,6)
+    t = jnp.einsum("mkab,mka->mb", W, dp_g)               # (M_loc,3)
     delta_l = jnp.einsum("mab,mb->ma", Hll_inv, g_l - t)
+
+    g_dot_l = _psum(jnp.sum(g_l * delta_l))
+    if axis_name:
+        delta_l = jax.lax.all_gather(delta_l, axis_name, tiled=True)
 
     delta = jnp.concatenate(
         [frames.reshape(-1), dbias, delta_l.reshape(-1)]
     )
     if return_aux:
+        # Camera terms are replicated (identical on every shard); only
+        # the landmark inner product is shard-local.
         g_dot = (
             jnp.sum(bands.gp * dpose)
             + jnp.sum(bands.gv * frames[:, POSE_DIM:])
             + bands.gb @ dbias
-            + jnp.sum(g_l * delta_l)
+            + g_dot_l
         )
         return delta, g_dot
     return delta

@@ -95,8 +95,6 @@ def optimize_lm(
     use_schur = cfg.linear_solver == "schur"
     use_cg = cfg.reduced_solver == "cg"
     use_banded = cfg.reduced_solver == "banded"
-    if use_banded and axis_name is not None:
-        raise ValueError("banded reduced solver is not mesh-sharded yet")
     if use_banded and cfg.band_width <= 0:
         raise ValueError(
             "reduced_solver='banded' needs band_width >= the max track "
@@ -132,6 +130,7 @@ def optimize_lm(
                 jitter=jitter,
                 diag_damping=diag_damping,
                 corr_window=cfg.banded_corr_window,
+                axis_name=axis_name,
             )
         if use_schur:
             return solve_schur(
