@@ -35,6 +35,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_PERTURB_RNG = np.random.default_rng(20260818)
+
+
+def perturb_initial(initial, scale: float = 1e-3):
+    """Perturb the initial pose translations between timing reps.
+
+    Repeat executions with BIT-IDENTICAL inputs can return in ~0 ms through
+    this environment's TPU tunnel (result memoization), which min() would
+    alias into an inflated headline number. 1e-3 m is >> f32 eps at the
+    trajectory magnitude (~50 m -> eps ~6e-6) and ~1e-2 of the odometry
+    drift the solver corrects, so iteration counts stay representative.
+    """
+    noise = _PERTURB_RNG.normal(0.0, scale, initial.pose_trans.shape)
+    return initial._replace(
+        pose_trans=(initial.pose_trans + noise).astype(initial.pose_trans.dtype)
+    )
+
+
 def main() -> None:
     n_poses = int(os.environ.get("BENCH_POSES", "1000"))
     n_lms = int(os.environ.get("BENCH_LANDMARKS", "512"))
@@ -115,14 +133,18 @@ def main() -> None:
         f"{int(stats.iterations)} LM iters, error "
         f"{float(stats.initial_error):.3e} -> {float(stats.final_error):.3e}"
     )
+    values_q = values  # unperturbed solution, used for the quality fields
 
     # Steady state: re-solve (cached executable); best of 2 — dispatch
     # through this environment's TPU tunnel carries ~±10% run-to-run
-    # noise that a single sample aliases into the headline number.
+    # noise that a single sample aliases into the headline number. Inputs
+    # are PERTURBED between reps (identical-input repeats can be memoized
+    # by the tunnel and return in ~0 ms — see perturb_initial).
     solve_s = float("inf")
     for _ in range(2):
+        rep_args = (graph, perturb_initial(initial)) + solve_args[2:]
         t0 = time.perf_counter()
-        values, stats = run_solver(*solve_args)
+        values, stats = run_solver(*rep_args)
         jax.block_until_ready(values)
         solve_s = min(solve_s, time.perf_counter() - t0)
 
@@ -130,7 +152,7 @@ def main() -> None:
     if seq.gt_pos is not None:
         from uslam_tpu.eval.metrics import ate_rmse
 
-        ate = ate_rmse(np.asarray(values.pose_trans), seq.gt_pos[: initial.num_poses])
+        ate = ate_rmse(np.asarray(values_q.pose_trans), seq.gt_pos[: initial.num_poses])
         init_ate = ate_rmse(np.asarray(initial.pose_trans), seq.gt_pos[: initial.num_poses])
         log(f"bench: ATE {init_ate:.4f} -> {ate:.4f} m")
 
@@ -222,8 +244,9 @@ def main() -> None:
                 warm_sc = time.perf_counter() - t0
                 s_solve = float("inf")
                 for _ in range(2):
+                    rep_args = (sgraph, perturb_initial(sinit)) + s_args[2:]
                     t0 = time.perf_counter()
-                    svals, sstats = run_solver(*s_args)
+                    svals, sstats = run_solver(*rep_args)
                     jax.block_until_ready(svals)
                     s_solve = min(s_solve, time.perf_counter() - t0)
                 s_rtf = dur_s / (s_ingest + s_solve)

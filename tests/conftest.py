@@ -29,7 +29,7 @@ jax.config.update("jax_enable_x64", False)
 # logs is non-fatal (those are LLVM tuning pseudo-features, not CPUID
 # features; compile and execution happen on the same machine). Measured:
 # a 17 s compile reloads in 0.2 s.
-_CACHE_DIR = os.environ.get("UslAM_TEST_JAX_CACHE", "/root/.cache/uslam_jax_cache_cpu")
+_CACHE_DIR = os.environ.get("USLAM_TEST_JAX_CACHE", "/root/.cache/uslam_jax_cache_cpu")
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

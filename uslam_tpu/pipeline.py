@@ -166,21 +166,41 @@ class AUVSlam:
         graph, initial = self._graph_cache
         cfg = self.config
         solver_cfg = cfg.solver
-        if solver_cfg.reduced_solver == "banded" and solver_cfg.band_width <= 0:
-            # Auto band width + correction window: measured off the packed
-            # graph (host-side; both are static jit parameters).
-            import dataclasses
-
+        if solver_cfg.reduced_solver == "banded":
             from uslam_tpu.solvers.banded import (
                 measure_band_width,
                 measure_corr_window,
             )
 
-            solver_cfg = dataclasses.replace(
-                solver_cfg,
-                band_width=measure_band_width(graph.stereo),
-                banded_corr_window=measure_corr_window(graph.stereo),
-            )
+            if solver_cfg.band_width <= 0:
+                # Auto band width + correction window: measured off the
+                # packed graph (host-side; both are static jit parameters).
+                import dataclasses
+
+                solver_cfg = dataclasses.replace(
+                    solver_cfg,
+                    band_width=measure_band_width(graph.stereo),
+                    banded_corr_window=measure_corr_window(graph.stereo),
+                )
+            else:
+                # User-supplied band parameters: validate here, where the
+                # arrays are concrete — an undersized band/window silently
+                # DROPS Hessian correction mass inside the jitted solve
+                # (out-of-range pairs get an all-zero one-hot).
+                bw = measure_band_width(graph.stereo)
+                if solver_cfg.band_width < bw:
+                    raise ValueError(
+                        f"band_width {solver_cfg.band_width} < max landmark "
+                        f"track span {bw} (measure_band_width)"
+                    )
+                if solver_cfg.banded_corr_window > 0:
+                    cw = measure_corr_window(graph.stereo)
+                    if solver_cfg.banded_corr_window < cw:
+                        raise ValueError(
+                            f"banded_corr_window {solver_cfg.banded_corr_window}"
+                            f" < measured chunk frame span {cw} "
+                            f"(measure_corr_window)"
+                        )
         t0 = time.perf_counter()
         values, stats = run_solver(
             graph,

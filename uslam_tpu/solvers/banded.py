@@ -216,15 +216,17 @@ def measure_corr_window(stereo: StereoObservations, lm_chunk: int = 128) -> int:
     if not mask.any():
         return 1
     big = np.iinfo(np.int64).max
-    lo_m = np.where(mask, cam_g, big).min(axis=1)          # (M,)
-    hi_m = np.where(mask, cam_g, -1).max(axis=1)
-    width = 1
-    for s in range(max(m - lm_chunk + 1, 1)):
-        lo = lo_m[s : s + lm_chunk].min()
-        hi = hi_m[s : s + lm_chunk].max()
-        if hi >= 0 and lo < big:
-            width = max(width, int(hi - lo) + 1)
-    return width
+    lo_m = np.where(mask, cam_g, big).min(axis=1).astype(np.int64)   # (M,)
+    hi_m = np.where(mask, cam_g, -1).max(axis=1).astype(np.int64)
+    # Vectorized sliding min/max (a Python loop of tiny reductions costs
+    # ~0.1-0.3 s at survey scale — comparable to the whole ingest).
+    w = min(lm_chunk, m)
+    lo = np.lib.stride_tricks.sliding_window_view(lo_m, w).min(axis=1)
+    hi = np.lib.stride_tricks.sliding_window_view(hi_m, w).max(axis=1)
+    valid = (hi >= 0) & (lo < big)
+    if not valid.any():
+        return 1
+    return max(int((hi[valid] - lo[valid]).max()) + 1, 1)
 
 
 # --------------------------------------------------------------------------
