@@ -39,6 +39,23 @@ except Exception:  # pragma: no cover - older jax
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running variant (opt in with USLAM_RUN_SLOW=1); a "
+        "shorter default variant covers the same assertions every run",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("USLAM_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow variant; set USLAM_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _drop_jax_executables_between_modules():
     """Release compiled-executable memory maps between test modules.

@@ -1,13 +1,18 @@
 """Fixed-lag marginalization stress test (SURVEY.md §4 config 4, VERDICT r1
-weak #5): a long (60 s, 300-keyframe) survey stream with continuous
-landmark churn — every landmark enters and leaves the window, so the
-dropped-landmark and dropped-cross-coupling approximations
-(solvers/fixed_lag.py docstring) are exercised hundreds of times — and the
-window-vs-batch divergence is measured PER TIME SEGMENT to bound its trend,
-not just its average.
+weak #5): a long survey stream with continuous landmark churn — every
+landmark enters and leaves the window, so the dropped-landmark and
+dropped-cross-coupling approximations (solvers/fixed_lag.py docstring) are
+exercised hundreds of times — and the window-vs-batch divergence is
+measured PER TIME SEGMENT to bound its trend, not just its average.
+
+The default run uses a 30 s stream (~150 marginalizations — the churn
+regime is fully established well before that); the original 60 s variant
+is kept behind the ``slow`` marker (USLAM_RUN_SLOW=1) — it adds no new
+code path, only stream length.
 """
 
 import numpy as np
+import pytest
 
 from tests.test_fixed_lag import feed
 from uslam_tpu.config import UslamConfig
@@ -17,12 +22,14 @@ from uslam_tpu.pipeline import run_sequence
 from uslam_tpu.solvers.fixed_lag import FixedLagSmoother
 
 
-def test_fixed_lag_long_stream_drift_bounded():
+def _run_stress(duration: float) -> None:
     cfg = UslamConfig()
     spec = SyntheticSpec(
         trajectory="survey",
-        duration=60.0,
-        num_landmarks=320,
+        duration=duration,
+        # Landmark density per second kept at the original 60 s / 320
+        # configuration so churn rate is identical at any duration.
+        num_landmarks=int(320 * duration / 60.0),
         odom_drift_rate=0.03,
         feature_noise_px=0.3,
         max_feature_depth=10.0,   # short tracks -> heavy churn
@@ -47,10 +54,10 @@ def test_fixed_lag_long_stream_drift_bounded():
     traj_fl = fl.full_trajectory()
 
     n = min(len(traj_fl), len(traj_batch))
-    assert n >= 290
+    assert n >= int(duration * 5) - 10
 
     # Churn really happened: far more unique landmarks than a window holds.
-    assert len(seen_ids) > 150, len(seen_ids)
+    assert len(seen_ids) > 2.5 * duration, len(seen_ids)
 
     # Segment-wise divergence from batch: bounded everywhere AND no
     # runaway trend (late segments comparable to early ones).
@@ -60,9 +67,9 @@ def test_fixed_lag_long_stream_drift_bounded():
         for i in range(6)
     ])
     # Stated drift bound: <0.30 m divergence from the batch optimum in any
-    # 10 s segment of a 60 s stream (measured ~0.25 max, mild growth — the
-    # window lacks the batch's global smoothing; the r1 marginalization
-    # bug produced 199 m here).
+    # segment (measured ~0.25 max at 60 s, mild growth — the window lacks
+    # the batch's global smoothing; the r1 marginalization bug produced
+    # 199 m here).
     assert seg_err.max() < 0.30, seg_err
     assert seg_err[-2:].mean() < 4.0 * max(seg_err[:2].mean(), 0.02), seg_err
 
@@ -72,3 +79,12 @@ def test_fixed_lag_long_stream_drift_bounded():
     ate_fl = ate_rmse(traj_fl[:n], gt)
     ate_odom = ate_rmse(np.asarray(seq.dvl_pose_pos[:n]), gt)
     assert ate_fl < ate_odom, (ate_fl, ate_odom)
+
+
+def test_fixed_lag_long_stream_drift_bounded():
+    _run_stress(30.0)
+
+
+@pytest.mark.slow
+def test_fixed_lag_60s_stream_drift_bounded():
+    _run_stress(60.0)

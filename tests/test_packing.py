@@ -134,3 +134,40 @@ def test_stratified_obs_mask():
     mask = stratified_obs_mask(keys, 5)
     assert mask.sum() == 10
     assert mask[keys == 0].sum() == 5 and mask[keys == 1].sum() == 5
+
+
+def test_mavros_velocity_initialization():
+    """A sequence carrying /mavros/local_position/velocity_local changes the
+    velocity initialization: per-keyframe nearest-sample init + V(0) prior
+    mean (reference isam.py:306,319-328); absent stream -> zeros
+    (batch.py:279). Stale samples (outside the sync slop) fall back to 0."""
+    from uslam_tpu.graph.packing import _nearest_within_slop, pack_sequence
+
+    cfg = UslamConfig()
+    spec = SyntheticSpec(duration=4.0, num_landmarks=32, seed=4)
+    seq = generate_synthetic_sequence(spec)
+
+    # Without the stream: zero-velocity init (reference batch semantics).
+    _, init0, _, _ = pack_sequence(seq, cfg)
+    assert not np.asarray(init0.vel).any()
+
+    # With the stream (ground-truth velocities as the mavros samples).
+    seq.mavros_vel_t = np.asarray(seq.gt_t, np.float64)
+    seq.mavros_vel = np.asarray(seq.gt_vel, np.float64)
+    graph1, init1, _, _ = pack_sequence(seq, cfg)
+    n = init1.num_poses
+    np.testing.assert_allclose(
+        np.asarray(init1.vel), seq.gt_vel[:n].astype(np.float32), atol=1e-6
+    )
+    # V(0) prior mean follows the measured velocity.
+    np.testing.assert_allclose(
+        np.asarray(graph1.priors.vel), seq.gt_vel[0].astype(np.float32),
+        atol=1e-6,
+    )
+
+    # Nearest-join slop gating: stale stream -> zeros.
+    t = np.array([0.0, 1.0, 2.0])
+    sv = np.arange(9, dtype=float).reshape(3, 3) + 1.0
+    out = _nearest_within_slop(np.array([0.05, 5.0]), t, sv, slop=0.2)
+    np.testing.assert_allclose(out[0], sv[0])
+    np.testing.assert_allclose(out[1], 0.0)

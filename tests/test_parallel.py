@@ -185,17 +185,22 @@ def _to_f64(tree):
 def test_sharded_production_lm_matches_single_device(duration):
     """The FULL production policy (velocity elimination, Marquardt
     damping, accept/reject while_loop, plateau stop), sharded vs
-    single-chip — in f64, where the optimum is sharp, so the pin tests the
-    SHARDING algebra (psum/all_gather decomposition), not f32 weak-mode
-    luck. (In f32 both paths converge to the same error but land at
-    different spots in the flat weak-mode valley — see
-    tests/test_oracle_parity.py for that phenomenon.) The f32 sharded step
-    is pinned by test_sharded_step_matches_single_device."""
+    single-chip — in f64, where the algebra is sharp, so the pin tests the
+    SHARDING decomposition (psum/all_gather), not f32 weak-mode luck.
+
+    Pinned over a FIXED iteration budget (3 full policy iterations through
+    the while_loop), not full convergence: per-iteration equivalence is the
+    stronger invariant (convergence equivalence follows by induction), and
+    two full f64 convergence runs on the 8-virtual-device 1-core mesh were
+    ~20 min of every suite run. A short sharded full-solve smoke below
+    keeps end-to-end convergence covered."""
+    import dataclasses
+
     slam, graph, initial, _ = build_graph(
         duration=duration, drift=0.05, feature_noise=0.3, seed=2
     )
     cfg = slam.config
-    solver_cfg = cfg.solver
+    solver_cfg = dataclasses.replace(cfg.solver, max_iterations=3)
 
     with jax.enable_x64():
         graph64, init64 = _to_f64(graph), _to_f64(initial)
@@ -214,15 +219,41 @@ def test_sharded_production_lm_matches_single_device(duration):
             mesh, cfg=solver_cfg,
         )
 
-    assert bool(out_stats.converged)
+    assert int(out_stats.iterations) == int(ref_stats.iterations)
     ref_err = float(ref_stats.final_error)
     out_err = float(out_stats.final_error)
-    assert out_err <= ref_err * 1.001 + 1e-9, (out_err, ref_err)
+    np.testing.assert_allclose(out_err, ref_err, rtol=1e-9)
     np.testing.assert_allclose(
         np.asarray(out_vals.pose_trans), np.asarray(ref_vals.pose_trans),
-        atol=1e-5,
+        atol=1e-8,
     )
     np.testing.assert_allclose(
         np.asarray(out_vals.landmarks), np.asarray(ref_vals.landmarks),
-        atol=1e-4,
+        atol=1e-8,
     )
+
+
+@needs_mesh
+def test_sharded_production_lm_full_solve_converges():
+    """Short end-to-end smoke: the sharded production LM runs to
+    CONVERGENCE in f64 and reaches the expected error decade (the
+    per-iteration sharded==single pin above carries the equivalence
+    guarantee; this covers the convergence/termination plumbing)."""
+    slam, graph, initial, _ = build_graph(
+        duration=3.0, drift=0.05, feature_noise=0.3, seed=2
+    )
+    cfg = slam.config
+
+    with jax.enable_x64():
+        graph64, init64 = _to_f64(graph), _to_f64(initial)
+        mesh = make_mesh(8)
+        g_sh, v_sh = shard_landmarks(graph64, init64, mesh)
+        out_vals, out_stats = sharded_optimize_lm(
+            g_sh, v_sh, slam.cam,
+            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+            mesh, cfg=cfg.solver,
+        )
+
+    assert bool(out_stats.converged)
+    assert np.isfinite(np.asarray(out_vals.pose_trans)).all()
+    assert float(out_stats.final_error) < float(out_stats.initial_error) * 1e-4

@@ -96,6 +96,23 @@ class PackedPytree:
         return cls(dict(zip(keys, children)), spec, treedef)
 
 
+def _nearest_within_slop(
+    query_t: np.ndarray, stream_t: np.ndarray, stream_v: np.ndarray,
+    slop: float,
+) -> np.ndarray:
+    """Nearest-sample join: stream value at the closest stamp to each query
+    time, zeros where no sample lies within ``slop`` (the sync window)."""
+    hi = np.searchsorted(stream_t, query_t)
+    lo = np.clip(hi - 1, 0, len(stream_t) - 1)
+    hi = np.clip(hi, 0, len(stream_t) - 1)
+    pick = np.where(
+        np.abs(stream_t[hi] - query_t) < np.abs(stream_t[lo] - query_t), hi, lo
+    )
+    out = stream_v[pick].astype(np.float64)
+    out[np.abs(stream_t[pick] - query_t) > slop] = 0.0
+    return out
+
+
 def _rank_within_group(keys: np.ndarray) -> np.ndarray:
     """Occurrence rank of each element within its key group, preserving
     original order (ranks[i] = #earlier elements with the same key)."""
@@ -209,6 +226,22 @@ def pack_sequence(
     dvl_mask = np.ones(n)
     dvl_mask[0] = 0.0
 
+    # --- velocity initial estimates ---------------------------------------
+    # Reference batch node initializes every velocity to zero (batch.py:279);
+    # the incremental node instead uses the measured world-frame velocity
+    # stream /mavros/local_position/velocity_local as the initial estimate
+    # and the V(0) prior mean (reference isam.py:306,319-328). When the
+    # sequence carries that stream, join it (nearest sample within the sync
+    # slop) per keyframe; keyframes without a fresh sample fall back to 0.
+    vel_init = np.zeros((n, 3))
+    if seq.mavros_vel is not None and seq.mavros_vel_t is not None and len(
+        seq.mavros_vel_t
+    ):
+        vel_init = _nearest_within_slop(
+            kf_t, np.asarray(seq.mavros_vel_t, np.float64),
+            np.asarray(seq.mavros_vel, np.float64), cfg.timesync.slop,
+        )
+
     # --- stereo features -------------------------------------------------
     rx, ry = cfg.camera.resolution_x, cfg.camera.resolution_y
     frames, ids_all, uL_all, uR_all, v_all = [], [], [], [], []
@@ -314,7 +347,9 @@ def pack_sequence(
         pose_quat=np.asarray(quats[0], npt),
         pose_trans=np.asarray(trans[0], npt),
         pose_sigmas=np.asarray(noise.prior_pose_sigmas, npt),
-        vel=np.zeros(3, npt),
+        # V(0) prior mean = measured velocity when the mavros stream is
+        # present (isam.py:319-328 semantics), zero otherwise (batch.py:279).
+        vel=np.asarray(vel_init[0], npt),
         vel_sigma=np.asarray(noise.prior_vel_sigma, npt),
         bias=np.zeros(6, npt),
         bias_weight=np.asarray(bias_weight, npt),
@@ -355,7 +390,7 @@ def pack_sequence(
     values = Values(
         pose_quat=np.asarray(quats, npt),
         pose_trans=np.asarray(trans, npt),
-        vel=np.zeros((n, 3), npt),
+        vel=np.asarray(vel_init, npt),
         bias=np.zeros(6, npt),
         landmarks=np.asarray(landmarks, npt),
     )

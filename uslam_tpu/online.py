@@ -52,6 +52,7 @@ class OnlineSlam:
         self._depth: float | None = None
         self._odom: tuple | None = None       # (t, quat, pos)
         self._twist: tuple | None = None      # (t, vel)
+        self._mavros: tuple | None = None     # (t, world-frame vel)
         self.keyframes = 0
 
     # ---- sensor inputs (the reference's subscriber surface) --------------
@@ -70,6 +71,14 @@ class OnlineSlam:
 
     def add_dvl_twist(self, t: float, vel_body) -> None:
         self._twist = (t, np.asarray(vel_body, float))
+
+    def add_mavros_vel(self, t: float, vel_world) -> None:
+        """World-frame velocity stream (/mavros/local_position/
+        velocity_local): used as the new keyframe's velocity initial
+        estimate, the reference incremental node's semantics
+        (isam.py:306,365). Optional — keyframes fall back to zero-velocity
+        initialization (batch.py:279) when absent or stale."""
+        self._mavros = (t, np.asarray(vel_world, float))
 
     def add_stereo_frame(self, t: float, left, right):
         """Process one stereo pair; returns the current window estimate (or
@@ -105,8 +114,11 @@ class OnlineSlam:
             )
         imu = np.stack(self._imu_buf) if self._imu_buf else None
         self._imu_buf = []
+        vel0 = np.zeros(3)
+        if self._mavros is not None and abs(self._mavros[0] - t) <= slop:
+            vel0 = self._mavros[1]
         values = self.smoother.add_keyframe(
-            quat, pos_adj, np.zeros(3), imu, self._twist[1], feats
+            quat, pos_adj, vel0, imu, self._twist[1], feats
         )
         self.keyframes += 1
         return values
