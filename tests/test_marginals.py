@@ -147,3 +147,57 @@ def test_marginals_f32_smoke():
         slam.config.imu.gravity, pose_indices=(0,),
     )
     assert np.isfinite(np.asarray(out.pose)).all()
+
+
+def test_joint_marginals_match_dense_inverse_f64():
+    """jointMarginalCovariance parity: the full joint covariance over a
+    mixed key set (poses, vel, bias, landmarks) must reproduce the
+    corresponding rows/columns of the dense inverse — including the CROSS
+    blocks (cam-cam, cam-landmark, landmark-landmark) that the
+    per-variable recovery never exercises."""
+    from uslam_tpu.solvers.marginals import joint_marginal_covariance
+
+    slam, graph, initial, _ = build_graph(duration=3.0, drift=0.02,
+                                          feature_noise=0.2, seed=3)
+    n = initial.num_poses
+    lm_counts = np.asarray(graph.stereo.lm_obs_mask).sum(axis=1)
+    lms = [int(j) for j in np.nonzero(lm_counts > 0)[0][:2]]
+    keys = (
+        ("pose", 0), ("pose", n - 1), ("vel", 1), ("bias",),
+        ("landmark", lms[0]), ("landmark", lms[1]),
+    )
+
+    with jax.enable_x64():
+        graph64, init64 = _to_f64(graph), _to_f64(initial)
+        J = np.asarray(joint_marginal_covariance(
+            graph64, init64, slam.cam,
+            slam.config.noise.dvl_sigma, slam.config.noise.stereo_sigma,
+            slam.config.imu.gravity, keys, jitter=0.0, refine_iters=2,
+        ))
+        Sigma = _dense_cov_oracle(slam, graph64, init64)
+
+    # Oracle rows/cols in the interleaved dense layout, in request order.
+    lm_base = FRAME_DIM * n + BIAS_DIM
+    idx = np.concatenate([
+        np.arange(FRAME_DIM * 0, FRAME_DIM * 0 + POSE_DIM),
+        np.arange(FRAME_DIM * (n - 1), FRAME_DIM * (n - 1) + POSE_DIM),
+        np.arange(FRAME_DIM * 1 + POSE_DIM, FRAME_DIM * 1 + POSE_DIM + VEL_DIM),
+        np.arange(FRAME_DIM * n, FRAME_DIM * n + BIAS_DIM),
+        np.arange(lm_base + LM_DIM * lms[0], lm_base + LM_DIM * lms[0] + LM_DIM),
+        np.arange(lm_base + LM_DIM * lms[1], lm_base + LM_DIM * lms[1] + LM_DIM),
+    ])
+    ref = Sigma[np.ix_(idx, idx)]
+    assert J.shape == ref.shape == (27, 27)
+    np.testing.assert_allclose(J, ref, rtol=1e-6, atol=1e-9)
+
+    # The cross blocks are genuinely nonzero (the joint adds information
+    # beyond the per-variable diagonal blocks).
+    assert np.abs(J[:POSE_DIM, POSE_DIM : 2 * POSE_DIM]).max() > 1e-6
+    assert np.abs(J[:POSE_DIM, -LM_DIM:]).max() > 1e-6
+
+    # Public API surface returns the same matrix at a solution.
+    result = slam.solve()
+    J2 = np.asarray(slam.joint_marginals(result, keys))
+    assert J2.shape == (27, 27)
+    assert np.isfinite(J2).all()
+    np.testing.assert_allclose(J2, J2.T, atol=1e-12)

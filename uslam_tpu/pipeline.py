@@ -224,7 +224,7 @@ class AUVSlam:
             values, polish_info = polish_f64(
                 graph, values, self.cam,
                 cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
-                cfg.solver, huber_delta=cfg.noise.stereo_huber_delta,
+                solver_cfg, huber_delta=cfg.noise.stereo_huber_delta,
             )
         dt = time.perf_counter() - t0
         odom = np.stack(self.odom_compare) if self.odom_compare else np.zeros((0, 3))
@@ -267,6 +267,15 @@ class AUVSlam:
             landmark_indices=landmark_indices,
             include_bias=include_bias,
         )
+
+    def joint_marginals(self, result: SlamResult, keys):
+        """JOINT covariance over a set of states (GTSAM
+        ``Marginals::jointMarginalCovariance`` parity): ``keys`` is a
+        sequence of ``("pose", i)``, ``("vel", i)``, ``("bias",)``,
+        ``("landmark", j)``; returns the dense covariance over the
+        concatenated tangents in request order. f64-on-host, like
+        :meth:`marginals` (see :func:`compute_joint_marginals`)."""
+        return compute_joint_marginals(result, self.config, keys)
 
     # ---- evaluation / export --------------------------------------------
 
@@ -335,6 +344,31 @@ def compute_marginals(
             vel_indices=vel_indices,
             landmark_indices=landmark_indices,
             include_bias=include_bias,
+            jitter=0.0, refine_iters=2,
+        )
+
+
+def compute_joint_marginals(
+    result: SlamResult,
+    config: UslamConfig = DEFAULT_CONFIG,
+    keys=(),
+):
+    """Joint covariance over selected states at a ``SlamResult``'s solution
+    (GTSAM ``Marginals::jointMarginalCovariance`` parity). f64 on the host
+    CPU for the same reason as :func:`compute_marginals` — selected-column
+    solves ride the weakly-observable modes, unrepresentable in f32."""
+    from uslam_tpu.solvers.marginals import joint_marginal_covariance
+    from uslam_tpu.solvers.polish import _to_dtype
+
+    cam = StereoCamera.from_config(config.camera)
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64():
+        graph64 = jax.device_put(_to_dtype(result.graph, jnp.float64), cpu)
+        vals64 = jax.device_put(_to_dtype(result.values, jnp.float64), cpu)
+        return joint_marginal_covariance(
+            graph64, vals64, cam,
+            config.noise.dvl_sigma, config.noise.stereo_sigma,
+            config.imu.gravity, keys,
             jitter=0.0, refine_iters=2,
         )
 

@@ -195,6 +195,108 @@ def marginal_covariances(
     )
 
 
+def joint_marginal_covariance(
+    graph: GraphArrays,
+    values: Values,
+    cam: StereoCamera,
+    dvl_sigma: float,
+    stereo_sigma: float,
+    gravity: float,
+    keys: Sequence[tuple],
+    jitter: float = 1e-7,
+    refine_iters: int = 4,
+) -> jnp.ndarray:
+    """Full JOINT covariance over a set of states (GTSAM
+    ``Marginals::jointMarginalCovariance`` parity — needed for data
+    association gating and cross-state consistency checks, the one engine
+    capability :func:`marginal_covariances`'s per-variable blocks miss).
+
+    ``keys``: sequence of ``("pose", i)``, ``("vel", i)``, ``("bias",)``,
+    ``("landmark", j)`` (static Python values — they shape the program).
+    Returns the dense (D, D) covariance over the concatenated tangents in
+    request order (pose keys contribute 6 rows [rot(3), trans(3)], vel /
+    landmark 3, bias 6).
+
+    Same machinery as the per-variable recovery: with
+    ``H = [[A, W], [W^T, D]]`` and ``S = A - W D^{-1} W^T``,
+
+        H^{-1} = [[S^{-1},         -S^{-1} U       ],
+                  [-U^T S^{-1},    D^{-1} + U^T S^{-1} U]],   U = W D^{-1}
+
+    so every requested block rides ONE multi-RHS solve against the reduced
+    camera system (unit columns for camera states, ``U_j`` columns for
+    landmarks).
+    """
+    keys = tuple(
+        (k[0], int(k[1])) if len(k) > 1 else (k[0],) for k in keys
+    )
+    n = values.num_poses
+    pose_total = POSE_DIM * n
+    dtype = values.pose_trans.dtype
+
+    lin = linearize_graph(graph, values, cam, dvl_sigma, stereo_sigma, gravity)
+    Hll_inv, _g_l, U, _V = landmark_elimination(lin, graph.stereo, n, 0.0)
+    bands = assemble_cam_bands(lin, graph.stereo, n, 0.0)
+    H_corr = jax.lax.dot_general(
+        U, _V, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGH
+    )
+    S, _g = expand_cam_dense(bands, pp_extra=-H_corr)
+    Dc = S.shape[0]
+
+    def key_info(k):
+        """(kind, camera-layout row offset or landmark index, tangent dim)."""
+        if k[0] == "pose":
+            return ("cam", POSE_DIM * k[1], POSE_DIM)
+        if k[0] == "vel":
+            return ("cam", pose_total + VEL_DIM * k[1], VEL_DIM)
+        if k[0] == "bias":
+            return ("cam", pose_total + VEL_DIM * n, BIAS_DIM)
+        if k[0] == "landmark":
+            return ("lm", k[1], LM_DIM)
+        raise ValueError(f"unknown marginal key kind {k[0]!r}")
+
+    infos = [key_info(k) for k in keys]
+    cols = []
+    for kind, off, d in infos:
+        if kind == "cam":
+            E = jnp.zeros((Dc, d), dtype)
+            cols.append(E.at[off + jnp.arange(d), jnp.arange(d)].set(1.0))
+        else:
+            Uj = jax.lax.dynamic_slice(U, (0, LM_DIM * off), (pose_total, LM_DIM))
+            cols.append(jnp.pad(Uj, ((0, Dc - pose_total), (0, 0))))
+    B = jnp.concatenate(cols, axis=1)
+    X = _scaled_cho_solve_mat(S, B, refine_iters, jitter)
+
+    col_offs = np.concatenate([[0], np.cumsum([d for _, _, d in infos])])
+    Dt = int(col_offs[-1])
+
+    rows_out = []
+    for a, (kind_a, off_a, da) in enumerate(infos):
+        row_blocks = []
+        for b, (kind_b, off_b, db) in enumerate(infos):
+            Xb = jax.lax.dynamic_slice(X, (0, int(col_offs[b])), (Dc, db))
+            if kind_a == "cam":
+                blk = jax.lax.dynamic_slice(Xb, (off_a, 0), (da, db))
+                if kind_b == "lm":
+                    blk = -blk                      # top-right: -S^{-1} U
+            else:
+                Ua = jax.lax.dynamic_slice(
+                    U, (0, LM_DIM * off_a), (pose_total, LM_DIM)
+                )
+                if kind_b == "cam":
+                    # bottom-left: -U^T S^{-1} = (top-right)^T.
+                    blk = -(Ua.T @ Xb[:pose_total])
+                else:
+                    blk = Ua.T @ Xb[:pose_total]    # U_a^T S^{-1} U_b
+                    if off_a == off_b:
+                        blk = blk + Hll_inv[off_a]  # + D^{-1} on the diagonal
+            row_blocks.append(blk)
+        rows_out.append(jnp.concatenate(row_blocks, axis=1))
+    J = jnp.concatenate(rows_out, axis=0)
+    assert J.shape == (Dt, Dt)
+    return 0.5 * (J + J.T)
+
+
 def marginal_sigmas(cov_blocks: jnp.ndarray) -> np.ndarray:
     """Per-axis marginal standard deviations from stacked covariance
     blocks — the usual ellipsoid-axis summary."""
