@@ -102,7 +102,7 @@ def ransac_translation(
 
 @_partial(jax.jit, static_argnames=("cfg",))
 def _orb_pair_step(
-    left, right, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig,
+    pair, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig,
     rel_rotvec=None, kvec=None,
 ):
     """One stereo pair, fully device-side, ONE compiled program:
@@ -122,10 +122,11 @@ def _orb_pair_step(
     semantics (reference launch/stereo.launch:46)."""
     from uslam_tpu.frontend.orb import extract_orb_batch
 
-    # Cast on-device: uint8 camera frames upload at 1/4 the bytes of f32
-    # (transfer latency dominates on high-latency device links).
-    pair = jnp.stack([left, right]).astype(jnp.float32)
-    kp_pair = extract_orb_batch(pair, cfg)
+    # ``pair``: (2, H, W), stacked HOST-side so the stereo frame upload is
+    # ONE buffer (each distinct buffer's first transfer costs a full round
+    # trip on remote-TPU transports). Cast on-device: uint8 frames upload
+    # at 1/4 the bytes of f32.
+    kp_pair = extract_orb_batch(pair.astype(jnp.float32), cfg)
     kp_l = jax.tree.map(lambda a: a[0], kp_pair)
     kp_r = jax.tree.map(lambda a: a[1], kp_pair)
     up = resolve_pallas(cfg.use_pallas)
@@ -212,15 +213,15 @@ class StereoFrontend:
         cfg = self.cfg
         # Keep the caller's dtype (uint8 uploads 4x less than f32); the
         # fused program casts on-device. KLT needs f32 on the host path.
-        left = jnp.asarray(left)
-        right = jnp.asarray(right)
+        # Stack host-side: ONE upload buffer for the stereo pair.
+        pair_np = np.stack([np.asarray(left), np.asarray(right)])
 
         if cfg.temporal_tracker == "klt":
-            left = left.astype(jnp.float32)
-            right = right.astype(jnp.float32)
+            pair = jnp.asarray(pair_np).astype(jnp.float32)
+            left = pair[0]
             from uslam_tpu.frontend.orb import extract_orb_batch
 
-            kp_pair = extract_orb_batch(jnp.stack([left, right]), cfg)
+            kp_pair = extract_orb_batch(pair, cfg)
             kp_l = jax.tree.map(lambda a: a[0], kp_pair)
             kp_r = jax.tree.map(lambda a: a[1], kp_pair)
             sm = stereo_match(
@@ -265,11 +266,11 @@ class StereoFrontend:
                 )
             if gyro_rotvec is None:
                 kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_pair_step(
-                    left, right, prev_desc, prev_xy, prev_mask, cfg
+                    pair_np, prev_desc, prev_xy, prev_mask, cfg
                 )
             else:
                 kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_pair_step(
-                    left, right, prev_desc, prev_xy, prev_mask, cfg,
+                    pair_np, prev_desc, prev_xy, prev_mask, cfg,
                     jnp.asarray(gyro_rotvec, jnp.float32), self._kvec(),
                 )
 
