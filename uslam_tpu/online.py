@@ -39,14 +39,30 @@ class OnlineSlam:
     # solvers.fixed_lag.DeviceWindowState). Biggest win on high-latency
     # device links (remote TPU).
     device_resident: bool = False
+    # Fuse the FRONT-END into the steady-state device program too
+    # (solvers.fixed_lag._fused_keyframe_step): ORB extraction, matching,
+    # RANSAC, persistent-id interning, and landmark triangulation all run
+    # inside the window-step program — per keyframe the host uploads the
+    # stereo pair + one small record and fetches the estimates (3 round
+    # trips total, zero host math on the critical path). Implies
+    # device_resident.
+    fused: bool = False
 
     def __post_init__(self):
         self.frontend = StereoFrontend(self.config.camera, self.config.frontend)
+        if self.fused:
+            self.device_resident = True
         self.smoother = FixedLagSmoother(
             self.config, window=self.window,
             solve_during_fill=self.solve_during_fill,
             device_resident=self.device_resident,
+            feat_slots=(
+                self.config.frontend.max_features
+                if self.fused
+                else FixedLagSmoother.feat_slots
+            ),
         )
+        self._fe_state = None          # device FusedFrontendState
         self._helper = AUVSlam(self.config)   # landmark triangulation helper
         self._imu_buf: list = []
         self._depth: float | None = None
@@ -54,6 +70,10 @@ class OnlineSlam:
         self._twist: tuple | None = None      # (t, vel)
         self._mavros: tuple | None = None     # (t, world-frame vel)
         self.keyframes = 0
+        # Per-keyframe latency split (ms): frontend (ORB pair program incl.
+        # its fetch), triangulate (host numpy), plus the smoother's
+        # record/solve/fetch entries (device-resident steady state).
+        self.timings: list = []
 
     # ---- sensor inputs (the reference's subscriber surface) --------------
 
@@ -98,6 +118,16 @@ class OnlineSlam:
         # Gyro-predicted rotation since the previous frame: compensates the
         # temporal RANSAC for vehicle turning (the buffered IMU is exactly
         # the inter-frame window; it is consumed for preintegration below).
+        import time as _time
+
+        if (
+            self.fused
+            and self.smoother._marg is not None
+            and len(self.smoother._frames) >= self.window
+        ):
+            return self._fused_step(t, left, right)
+
+        t0 = _time.perf_counter()
         rv = None
         if self._imu_buf and self.keyframes > 0:
             buf = np.stack(self._imu_buf)
@@ -105,6 +135,7 @@ class OnlineSlam:
         ff = self.frontend.process(
             np.asarray(left), np.asarray(right), t, gyro_rotvec=rv
         )
+        t1 = _time.perf_counter()
         _, quat, pos = self._odom
         pos_adj = np.array([pos[0], pos[1], self._depth])
         feats = None
@@ -117,11 +148,130 @@ class OnlineSlam:
         vel0 = np.zeros(3)
         if self._mavros is not None and abs(self._mavros[0] - t) <= slop:
             vel0 = self._mavros[1]
+        t2 = _time.perf_counter()
+        n_timing = len(self.smoother.timings)
         values = self.smoother.add_keyframe(
             quat, pos_adj, vel0, imu, self._twist[1], feats
         )
+        t3 = _time.perf_counter()
+        entry = {
+            "frontend_ms": (t1 - t0) * 1e3,
+            "triangulate_ms": (t2 - t1) * 1e3,
+            "smoother_ms": (t3 - t2) * 1e3,
+            "total_ms": (t3 - t0) * 1e3,
+        }
+        if len(self.smoother.timings) > n_timing:
+            entry.update(self.smoother.timings[-1])
+        self.timings.append(entry)
         self.keyframes += 1
         return values
+
+    def _fused_step(self, t: float, left, right):
+        """Steady-state keyframe through the fully-fused device program
+        (solvers.fixed_lag._fused_keyframe_step): one stereo-pair upload +
+        one small-record upload + one estimate fetch."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from uslam_tpu.graph.packing import PackedPytree
+        from uslam_tpu.solvers.fixed_lag import (
+            FusedFrontendState,
+            FusedRecord,
+            _Keyframe,
+            _fused_keyframe_step,
+            _imu_whitener_record,
+        )
+
+        sm = self.smoother
+        cfg = self.config
+        t0 = _time.perf_counter()
+        if sm._dev_state is None:
+            sm._init_device_state(frames=list(sm._frames))
+        if self._fe_state is None:
+            # Transition from the host tracker: mirror its state on device.
+            fe = self.frontend
+            self._fe_state = jax.device_put(
+                FusedFrontendState(
+                    desc=jnp.asarray(fe._prev.desc),
+                    xy=jnp.asarray(fe._prev.xy),
+                    mask=jnp.asarray(fe._prev.mask),
+                    ids=jnp.asarray(fe._prev_ids, jnp.int32),
+                    next_id=jnp.asarray(fe._next_id, jnp.int32),
+                )
+            )
+
+        rv = np.zeros(3)
+        if self._imu_buf and self.keyframes > 0:
+            buf = np.stack(self._imu_buf)
+            rv = integrate_gyro_rotvec(buf[:, 3:6], buf[:, 6])
+        imu_samples = np.stack(self._imu_buf) if self._imu_buf else None
+        self._imu_buf = []
+        imu32, whit, valid = _imu_whitener_record(imu_samples, cfg)
+        _, quat, pos = self._odom
+        vel0 = np.zeros(3)
+        if self._mavros is not None and abs(self._mavros[0] - t) <= cfg.timesync.slop:
+            vel0 = self._mavros[1]
+        rec = FusedRecord(
+            imu=imu32, whitener=whit, imu_valid=valid,
+            dvl=np.asarray(self._twist[1], np.float32),
+            quat=np.asarray(quat, np.float32),
+            pos_xy=np.asarray(pos[:2], np.float32),
+            depth=np.float32(self._depth),
+            vel0=np.asarray(vel0, np.float32),
+            rotvec=np.asarray(rv, np.float32),
+        )
+        pair = np.stack([np.asarray(left), np.asarray(right)])
+        kvec = np.asarray(
+            [cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy],
+            np.float32,
+        )
+        t1 = _time.perf_counter()
+        sm._dev_state, self._fe_state, outputs = _fused_keyframe_step(
+            sm._dev_state, self._fe_state, pair, PackedPytree.pack(rec),
+            sm.cam, kvec,
+            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+            cfg.solver, cfg,
+        )
+        jax.block_until_ready(outputs)
+        t2 = _time.perf_counter()
+        pq, pt, vv, departing, _stats = jax.device_get(outputs)
+        t3 = _time.perf_counter()
+
+        # Roll the host mirror (full_trajectory / API parity); fused-mode
+        # mirror keyframes carry no feature lists (they live on device).
+        from uslam_tpu.graph.values import Values
+
+        sm._frames.append(
+            _Keyframe(pq[-1].astype(np.float64), pt[-1].astype(np.float64),
+                      vv[-1].astype(np.float64), imu_samples,
+                      np.asarray(self._twist[1], np.float64), None)
+        )
+        sm._frames.popleft()
+        for i, fr in enumerate(sm._frames):
+            fr.quat, fr.trans, fr.vel = pq[i + 1], pt[i + 1], vv[i + 1]
+        sm._trajectory.append(np.asarray(departing, np.float64))
+        entry = {
+            "record_ms": (t1 - t0) * 1e3,
+            "solve_ms": (t2 - t1) * 1e3,
+            "fetch_ms": (t3 - t2) * 1e3,
+            "frontend_ms": 0.0,      # fused into solve_ms
+            "triangulate_ms": 0.0,
+            "smoother_ms": (t3 - t0) * 1e3,
+            "total_ms": (t3 - t0) * 1e3,
+            "fused": True,
+        }
+        sm.timings.append(
+            {k: entry[k] for k in ("record_ms", "solve_ms", "fetch_ms")}
+        )
+        self.timings.append(entry)
+        self.keyframes += 1
+        return Values(
+            pose_quat=pq, pose_trans=pt, vel=vv,
+            bias=np.zeros(6, np.float32),
+            landmarks=np.zeros((1, 3), np.float32),
+        )
 
     # ---- outputs ----------------------------------------------------------
 

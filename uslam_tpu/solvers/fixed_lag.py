@@ -143,6 +143,32 @@ def _solve_and_marginalize_impl(
     return values, stats, lam
 
 
+def _imu_whitener_record(imu_samples, config):
+    """Raw buffered IMU samples (n, 7) or None -> fixed-shape
+    (imu (S,7) f32, whitener (9,9) f32, valid f32).
+
+    Whiteners from the UNQUANTIZED f64 samples (same contract as the batch
+    ingest path — see CLAUDE.md); the graph data itself is f32."""
+    S = config.imu.max_samples_per_keyframe
+    imu64 = np.zeros((S, 7), np.float64)
+    valid = 0.0
+    if imu_samples is not None and len(imu_samples):
+        s = min(len(imu_samples), S)
+        imu64[:s] = np.asarray(imu_samples, np.float64)[:s]
+        valid = 1.0
+    from uslam_tpu.factors.imu import ImuIntervalData
+    from uslam_tpu.graph.builder import _compute_imu_whiteners
+
+    whit = _compute_imu_whiteners(
+        ImuIntervalData(
+            acc=imu64[None, :, 0:3], gyro=imu64[None, :, 3:6],
+            dt=imu64[None, :, 6],
+        ),
+        config,
+    )[0].astype(np.float32)
+    return imu64.astype(np.float32), whit, np.float32(valid)
+
+
 @dataclass
 class _Keyframe:
     quat: np.ndarray
@@ -179,6 +205,11 @@ class FixedLagSmoother:
     _marg: dict | None = None
     _trajectory: list = field(default_factory=list)
     _dev_state: object = None
+    # Per-keyframe latency split for the device-resident steady state:
+    # dicts with record/solve/fetch milliseconds (solve = upload + device
+    # execution up to block_until_ready; fetch = the device->host round
+    # trip). Appended by _device_step; bench.py's online block reads it.
+    timings: list = field(default_factory=list)
 
     def __post_init__(self):
         self.cam = StereoCamera.from_config(self.config.camera)
@@ -263,27 +294,8 @@ class FixedLagSmoother:
 
     def _frame_record_arrays(self, fr: "_Keyframe"):
         """One keyframe -> fixed-shape f32/int32 record arrays."""
-        S = self.config.imu.max_samples_per_keyframe
         Kf = self.feat_slots
-        # Whiteners from the UNQUANTIZED f64 samples (same contract as the
-        # batch ingest path — see CLAUDE.md); the graph data itself is f32.
-        imu64 = np.zeros((S, 7), np.float64)
-        valid = 0.0
-        if fr.imu is not None and len(fr.imu):
-            s = min(len(fr.imu), S)
-            imu64[:s] = fr.imu[:s]
-            valid = 1.0
-        from uslam_tpu.factors.imu import ImuIntervalData
-        from uslam_tpu.graph.builder import _compute_imu_whiteners
-
-        whit = _compute_imu_whiteners(
-            ImuIntervalData(
-                acc=imu64[None, :, 0:3], gyro=imu64[None, :, 3:6],
-                dt=imu64[None, :, 6],
-            ),
-            self.config,
-        )[0].astype(np.float32)
-        imu = imu64.astype(np.float32)
+        imu, whit, valid = _imu_whitener_record(fr.imu, self.config)
         ids = np.full(Kf, int(_ID_SENTINEL), np.int32)
         meas = np.zeros((Kf, 3), np.float32)
         init = np.zeros((Kf, 3), np.float32)
@@ -308,9 +320,10 @@ class FixedLagSmoother:
             feat_mask=fmask,
         )
 
-    def _init_device_state(self):
+    def _init_device_state(self, frames=None):
         """One-time upload of the current W-frame window + marginal."""
-        frames = list(self._frames)[:-1]      # all but the just-appended one
+        if frames is None:
+            frames = list(self._frames)[:-1]  # all but the just-appended one
         recs = [self._frame_record_arrays(fr) for fr in frames]
         stack = lambda name: np.stack([getattr(r, name) for r in recs])  # noqa: E731
         m = self._marg
@@ -330,18 +343,32 @@ class FixedLagSmoother:
         self._dev_state = jax.device_put(state)
 
     def _device_step(self) -> Values:
+        import time as _time
+
         from uslam_tpu.graph.packing import PackedPytree
 
         if self._dev_state is None:
             self._init_device_state()
         cfg = self.config
+        t0 = _time.perf_counter()
         rec = self._frame_record_arrays(self._frames[-1])
+        t1 = _time.perf_counter()
         self._dev_state, outputs = _device_window_step(
             self._dev_state, PackedPytree.pack(rec), self.cam,
             cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
             cfg.solver, cfg,
         )
+        jax.block_until_ready(outputs)
+        t2 = _time.perf_counter()
         pq, pt, vv, departing, _stats = jax.device_get(outputs)
+        t3 = _time.perf_counter()
+        self.timings.append(
+            {
+                "record_ms": (t1 - t0) * 1e3,
+                "solve_ms": (t2 - t1) * 1e3,   # upload + device execution
+                "fetch_ms": (t3 - t2) * 1e3,   # device->host round trip
+            }
+        )
 
         # Roll the host mirror (kept for full_trajectory / API parity).
         self._frames.popleft()
@@ -611,8 +638,20 @@ def _device_window_step(
     (new_state, outputs), outputs = (window quat/trans/vel, departing
     finalized frame (10,), stats) — fetched in ONE device_get by the
     caller."""
-    st: DeviceWindowState = state
-    rec: DeviceWindowRecord = packed_record.unpack()
+    return _window_step_core(
+        state, packed_record.unpack(), cam, dvl_sigma, stereo_sigma, gravity,
+        solver_cfg, config,
+    )
+
+
+def _window_step_core(
+    st: DeviceWindowState,
+    rec: DeviceWindowRecord,
+    cam, dvl_sigma, stereo_sigma, gravity, solver_cfg, config,
+):
+    """Traced body shared by the host-record path and the fused
+    (frontend-on-device) path: window graph build, LM solve, dropped-factor
+    marginalization, state roll."""
     graph, initial, _ = _device_window_graph(st, rec, config)
 
     with jax.default_matmul_precision("highest"):
@@ -653,6 +692,121 @@ def _device_window_step(
     )
     outputs = (values.pose_quat, values.pose_trans, values.vel, departing, stats)
     return new_state, outputs
+
+
+# ==========================================================================
+# Fused steady state: front-end + window solve in ONE device program
+# ==========================================================================
+#
+# The split device-resident path still pays per keyframe: stereo-pair
+# upload + ORB-program fetch (the host needs match indices for id
+# interning) + record upload + window fetch — ~4 transport round trips on
+# a high-latency link, plus the host triangulation in between. Here the id
+# interning, landmark triangulation, record assembly, and window step all
+# move INTO the program: per keyframe the host uploads the stereo pair
+# (one uint8 buffer) and one small f32 record, and fetches the estimates —
+# 3 round trips, one program dispatch, zero host math on the critical
+# path.
+
+
+class FusedFrontendState(NamedTuple):
+    """Tracker state resident on device (the host mirror of
+    ``StereoFrontend._prev`` + id interning counters)."""
+
+    desc: jnp.ndarray      # (K, 8) uint32 — previous left descriptors
+    xy: jnp.ndarray        # (K, 2) f32
+    mask: jnp.ndarray      # (K,) bool
+    ids: jnp.ndarray       # (K,) int32, -1 = no persistent id
+    next_id: jnp.ndarray   # () int32
+
+
+class FusedRecord(NamedTuple):
+    """Per-keyframe small inputs (all f32 -> ONE consolidated buffer)."""
+
+    imu: jnp.ndarray         # (S, 7)
+    whitener: jnp.ndarray    # (9, 9)
+    imu_valid: jnp.ndarray   # ()
+    dvl: jnp.ndarray         # (3,)
+    quat: jnp.ndarray        # (4,) odom orientation (wxyz)
+    pos_xy: jnp.ndarray      # (2,) odom x, y
+    depth: jnp.ndarray       # () pressure depth (keyframe z)
+    vel0: jnp.ndarray        # (3,) velocity init (mavros or zeros)
+    rotvec: jnp.ndarray      # (3,) integrated gyro rotation prev->cur
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dvl_sigma", "stereo_sigma", "gravity", "solver_cfg", "config"),
+    donate_argnums=(0, 1),
+)
+def _fused_keyframe_step(
+    state, fe_state, pair, packed_rec, cam, kvec,
+    dvl_sigma, stereo_sigma, gravity, solver_cfg, config,
+):
+    """One steady-state keyframe: ORB pair extraction + stereo/temporal
+    matching + RANSAC + persistent-id interning + landmark triangulation +
+    window solve + marginalization, all in one compiled program.
+
+    ``pair``: (2, H, W) uint8 (one upload buffer); ``packed_rec``: the
+    FusedRecord as one consolidated f32 buffer. Returns
+    (new_window_state, new_frontend_state, outputs) — outputs identical to
+    :func:`_window_step_core`'s.
+    """
+    from uslam_tpu.frontend.tracker import _orb_pair_step
+    from uslam_tpu.geometry.camera import triangulate_stereo
+    from uslam_tpu.geometry.se3 import Pose3
+
+    st: DeviceWindowState = state
+    fe: FusedFrontendState = fe_state
+    rec: FusedRecord = packed_rec.unpack()
+    fcfg = config.frontend
+    f32 = jnp.float32
+
+    kp_l, kp_r, sm_idx, sm_mask, tm_idx = _orb_pair_step(
+        pair, fe.desc, fe.xy, fe.mask, fcfg, rec.rotvec, kvec
+    )
+
+    # ---- persistent-id interning, vectorized (same semantics as the host
+    # loop in tracker.process: stereo-matched keypoints inherit the tracked
+    # previous id; otherwise they get fresh sequential ids in slot order).
+    j = jnp.maximum(tm_idx, 0)
+    prev_id_j = fe.ids[j]
+    tracked = (tm_idx >= 0) & (prev_id_j >= 0)
+    inherit = sm_mask & tracked
+    needs_new = sm_mask & ~tracked
+    nn = needs_new.astype(jnp.int32)
+    fresh = fe.next_id + jnp.cumsum(nn) - nn
+    ids = jnp.where(
+        inherit, prev_id_j, jnp.where(needs_new, fresh, -1)
+    ).astype(jnp.int32)
+    next_id = fe.next_id + jnp.sum(nn)
+
+    # ---- landmark init: triangulate at the depth-adjusted keyframe pose.
+    trans = jnp.concatenate([rec.pos_xy, rec.depth[None]]).astype(f32)
+    xy_r = kp_r.xy[jnp.maximum(sm_idx, 0)]
+    meas3 = jnp.stack(
+        [kp_l.xy[:, 0], xy_r[:, 0], 0.5 * (kp_l.xy[:, 1] + xy_r[:, 1])],
+        axis=-1,
+    )
+    world = triangulate_stereo(cam, Pose3(rec.quat, trans), meas3)
+
+    fmask = sm_mask.astype(f32)
+    win_rec = DeviceWindowRecord(
+        quat=rec.quat, trans=trans, vel=rec.vel0,
+        imu=rec.imu, imu_whitener=rec.whitener, imu_valid=rec.imu_valid,
+        dvl=rec.dvl,
+        feat_ids=jnp.where(sm_mask, ids, jnp.int32(_ID_SENTINEL)),
+        feat_meas=meas3 * fmask[:, None],
+        feat_init=world * fmask[:, None],
+        feat_mask=fmask,
+    )
+    new_state, outputs = _window_step_core(
+        st, win_rec, cam, dvl_sigma, stereo_sigma, gravity, solver_cfg, config
+    )
+    new_fe = FusedFrontendState(
+        desc=kp_l.desc, xy=kp_l.xy, mask=kp_l.mask, ids=ids, next_id=next_id
+    )
+    return new_state, new_fe, outputs
 
 
 # ==========================================================================
