@@ -148,13 +148,41 @@ def main() -> None:
         jax.block_until_ready(values)
         solve_s = min(solve_s, time.perf_counter() - t0)
 
-    ate = init_ate = None
+    ate = init_ate = ate_polished = polish_s = None
     if seq.gt_pos is not None:
         from uslam_tpu.eval.metrics import ate_rmse
 
         ate = ate_rmse(np.asarray(values_q.pose_trans), seq.gt_pos[: initial.num_poses])
         init_ate = ate_rmse(np.asarray(initial.pose_trans), seq.gt_pos[: initial.num_poses])
         log(f"bench: ATE {init_ate:.4f} -> {ate:.4f} m")
+
+    # Certified-quality headline: the f64 polish tail from the f32 solution
+    # (SolverConfig.f64_polish — the configuration test_oracle_parity pins
+    # within 1% of the f64-exact optimum). Host-CPU f64; one-shot tail, not
+    # part of the timed steady-state solve.
+    if os.environ.get("BENCH_POLISH", "1") == "1" and seq.gt_pos is not None:
+        try:
+            from uslam_tpu.solvers.polish import polish_f64
+
+            t0 = time.perf_counter()
+            pol_vals, pinfo = polish_f64(
+                graph, values_q, cam,
+                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+                cfg.solver,
+                max_iters=int(os.environ.get("BENCH_POLISH_ITERS", "8")),
+            )
+            polish_s = time.perf_counter() - t0
+            ate_polished = ate_rmse(
+                np.asarray(pol_vals.pose_trans), seq.gt_pos[: initial.num_poses]
+            )
+            log(
+                f"bench: f64 polish {pinfo['polish_iterations']} iters in "
+                f"{polish_s:.1f}s, error {pinfo['polish_initial_error']:.6e}"
+                f" -> {pinfo['polish_final_error']:.6e}, ATE {ate:.4f} -> "
+                f"{ate_polished:.4f}"
+            )
+        except Exception as e:
+            log(f"bench[polish]: FAILED: {type(e).__name__}: {e}")
 
     # Front-end throughput at the reference camera resolution (stderr info;
     # the BASELINE.md "front-end frames/s" figure).
@@ -250,15 +278,66 @@ def main() -> None:
                     jax.block_until_ready(svals)
                     s_solve = min(s_solve, time.perf_counter() - t0)
                 s_rtf = dur_s / (s_ingest + s_solve)
-                scaling[str(sinit.num_poses)] = round(s_rtf, 2)
+                entry: dict = {"realtime": round(s_rtf, 2)}
+                if sseq.gt_pos is not None:
+                    from uslam_tpu.eval.metrics import ate_rmse as _ate
+
+                    gt_s = sseq.gt_pos[: sinit.num_poses]
+                    entry["ate_init"] = round(
+                        _ate(np.asarray(sinit.pose_trans), gt_s), 4
+                    )
+                    entry["ate_final"] = round(
+                        _ate(np.asarray(svals.pose_trans), gt_s), 4
+                    )
+                    # Banded f64 polish tail (O(N P^2) on host): the
+                    # formulation-independent quality number — closes the
+                    # f32 banded-vs-dense solution-luck gap
+                    # (tests/test_banded_scale.py certifies it reaches the
+                    # f64 optimum within 2%).
+                    if os.environ.get("BENCH_POLISH", "1") == "1":
+                        from uslam_tpu.solvers.polish import polish_f64
+
+                        t0 = time.perf_counter()
+                        spol, spinfo = polish_f64(
+                            sgraph, svals, cam,
+                            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                            cfg.imu.gravity, scfg,
+                            max_iters=int(
+                                os.environ.get("BENCH_POLISH_ITERS", "8")
+                            ),
+                        )
+                        entry["ate_polished"] = round(
+                            _ate(np.asarray(spol.pose_trans), gt_s), 4
+                        )
+                        entry["polish_seconds"] = round(
+                            time.perf_counter() - t0, 1
+                        )
+                scaling[str(sinit.num_poses)] = entry
                 log(
                     f"bench[scale {n_scale}]: warm {warm_sc:.1f}s, steady "
                     f"{s_solve:.2f}s, {int(sstats.iterations)} iters, "
                     f"error {float(sstats.initial_error):.3e} -> "
-                    f"{float(sstats.final_error):.3e} => {s_rtf:.1f}x realtime"
+                    f"{float(sstats.final_error):.3e} => {s_rtf:.1f}x "
+                    f"realtime {entry}"
                 )
             except Exception as e:  # scaling must never kill the bench line
                 log(f"bench[scale {n_scale}]: FAILED: {type(e).__name__}: {e}")
+
+    # --- online (streaming) keyframe latency -------------------------------
+    # The reference's design cadence is 5 Hz (200 ms/keyframe,
+    # batch.py:325,328). Device-resident fixed-lag window, full ORB
+    # front-end on rendered 1080p stereo; median/p90 latency + the
+    # device-compute vs host-round-trip split (VERDICT r2 next #1).
+    online_stats: dict = {}
+    if os.environ.get("BENCH_ONLINE", "1") == "1":
+        try:
+            online_stats = bench_online(
+                duration=float(os.environ.get("BENCH_ONLINE_DURATION", "30")),
+                window=int(os.environ.get("BENCH_ONLINE_WINDOW", "10")),
+                fused=os.environ.get("BENCH_ONLINE_FUSED", "1") == "1",
+            )
+        except Exception as e:  # online must never kill the bench line
+            log(f"bench[online]: FAILED: {type(e).__name__}: {e}")
 
     out = {
         "metric": f"batch_ba_{initial.num_poses}poses_realtime_factor",
@@ -269,9 +348,108 @@ def main() -> None:
     if ate is not None:
         out["ate_init"] = round(float(init_ate), 4)
         out["ate_final"] = round(float(ate), 4)
+    if ate_polished is not None:
+        out["ate_polished"] = round(float(ate_polished), 4)
+        out["polish_seconds"] = round(float(polish_s), 1)
     if scaling:
         out["scaling"] = scaling
+    if online_stats:
+        out["online"] = online_stats
     print(json.dumps(out))
+
+
+def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -> dict:
+    """Streaming keyframe latency over a ≥30 s rendered stereo stream.
+
+    Returns {median_ms, p90_ms, fps, rtt_ms, split medians...} over the
+    device-resident steady-state keyframes (fill/compile keyframes are
+    excluded). ``rtt_ms`` is a measured scalar host<->device round trip —
+    the unit for attributing solve_ms (upload + execute) vs fetch_ms
+    (one round trip) to transport rather than device compute.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from uslam_tpu import OnlineSlam
+    from uslam_tpu.config import UslamConfig
+    from uslam_tpu.eval.metrics import ate_rmse
+    from uslam_tpu.io.synthetic import SyntheticSpec, generate_synthetic_sequence
+
+    t0 = time.perf_counter()
+    seq = generate_synthetic_sequence(
+        SyntheticSpec(duration=duration, odom_drift_rate=0.03, seed=3),
+        render_images=True,
+        omit_features=True,
+    )
+    # uint8 frames: 1/4 the upload bytes; the device program casts to f32.
+    seq.images_left = np.clip(seq.images_left, 0, 255).astype(np.uint8)
+    seq.images_right = np.clip(seq.images_right, 0, 255).astype(np.uint8)
+    log(f"bench[online]: rendered {len(seq.image_t)} stereo pairs in "
+        f"{time.perf_counter()-t0:.1f}s")
+
+    # Measured scalar round trip (median of 5).
+    rtts = []
+    for i in range(5):
+        x = np.float32(i)
+        t1 = time.perf_counter()
+        jax.device_get(jax.device_put(x))
+        rtts.append((time.perf_counter() - t1) * 1e3)
+    rtt_ms = float(np.median(rtts))
+
+    online = OnlineSlam(
+        UslamConfig(), window=window, device_resident=True, fused=fused
+    )
+    events = (
+        [("imu", t, i) for i, t in enumerate(seq.imu_t)]
+        + [("press", t, i) for i, t in enumerate(seq.pressure_t)]
+        + [("pose", t, i) for i, t in enumerate(seq.dvl_pose_t)]
+        + [("twist", t, i) for i, t in enumerate(seq.dvl_twist_t)]
+        + [("frame", t, i) for i, t in enumerate(seq.image_t)]
+    )
+    events.sort(key=lambda e: e[1])
+    t_wall = time.perf_counter()
+    for kind, t, i in events:
+        if kind == "imu":
+            online.add_imu(t, seq.imu_acc[i], seq.imu_gyro[i])
+        elif kind == "press":
+            online.add_pressure(t, seq.pressure_mbar[i])
+        elif kind == "pose":
+            online.add_dvl_pose(t, seq.dvl_pose_quat[i], seq.dvl_pose_pos[i])
+        elif kind == "twist":
+            online.add_dvl_twist(t, seq.dvl_twist_vel[i])
+        else:
+            online.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
+    wall = time.perf_counter() - t_wall
+
+    # Steady state = device-resident entries (they carry solve_ms), minus
+    # the first two (window-step + frontend compile tails).
+    steady = [e for e in online.timings if "solve_ms" in e][2:]
+    if not steady:
+        raise RuntimeError("no steady-state keyframes recorded")
+    med = lambda k: float(np.median([e[k] for e in steady]))  # noqa: E731
+    tot = np.sort([e["total_ms"] for e in steady])
+    stats = {
+        "mode": "fused" if fused else "split",
+        "keyframes": online.keyframes,
+        "steady_keyframes": len(steady),
+        "median_ms": round(float(tot[len(tot) // 2]), 1),
+        "p90_ms": round(float(tot[int(len(tot) * 0.9)]), 1),
+        "fps": round(online.keyframes / wall, 2),
+        "rtt_ms": round(rtt_ms, 1),
+        "frontend_ms": round(med("frontend_ms"), 1),
+        "triangulate_ms": round(med("triangulate_ms"), 1),
+        "record_ms": round(med("record_ms"), 1),
+        "solve_ms": round(med("solve_ms"), 1),
+        "fetch_ms": round(med("fetch_ms"), 1),
+    }
+    traj = online.trajectory()
+    if seq.gt_pos is not None and len(traj):
+        n = min(len(traj), len(seq.gt_pos))
+        stats["ate"] = round(ate_rmse(traj[:n], seq.gt_pos[:n]), 4)
+    log(f"bench[online]: {stats}")
+    return stats
 
 
 if __name__ == "__main__":

@@ -26,6 +26,12 @@ def main() -> None:
         help="keep the steady-state window on device (1 upload + 1 fetch "
         "per keyframe; biggest win on high-latency TPU links)",
     )
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="fuse the front-end INTO the steady-state device program "
+        "(ORB + matching + id interning + triangulation + window solve "
+        "= one dispatch per keyframe)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -45,7 +51,8 @@ def main() -> None:
         omit_features=True,
     )
     online = OnlineSlam(
-        UslamConfig(), window=args.window, device_resident=args.device_resident
+        UslamConfig(), window=args.window,
+        device_resident=args.device_resident, fused=args.fused,
     )
 
     # Interleave every stream by timestamp — a live driver loop.

@@ -135,3 +135,79 @@ def test_ate_parity_vs_exact_oracle():
     # THE parity bound (BASELINE "ATE within 1%"): the production
     # f64-polished estimate vs the exact optimum.
     assert ate_polished <= ate_oracle * 1.01 + 1e-4, (ate_polished, ate_oracle)
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+def test_ate_parity_vs_exact_oracle_1k_bench_scale():
+    """The 1% parity claim AT THE BENCH SCALE (1k poses, the BASELINE.json
+    configuration): f32 production solve + f64 polish tail lands within 1%
+    ATE of the f64 optimum on the same graph the headline bench runs.
+
+    Slow-marked (USLAM_RUN_SLOW=1): the f64 oracle LM at 1k runs for tens
+    of host-CPU minutes the first time; its solution is content-addressed
+    cached under ~/.cache so re-runs only pay the production-path solve.
+    The always-on 100-pose variant above pins the same property each run;
+    the bench reports ate_polished on this exact spec every round.
+    """
+    from uslam_tpu.solvers.polish import polish_f64
+
+    spec = SyntheticSpec(
+        duration=200.0,            # 1000 keyframes at 5 Hz — the bench spec
+        keyframe_rate=5.0,
+        num_landmarks=512,
+        omega=0.15,
+        odom_drift_rate=0.02,
+        feature_noise_px=0.3,
+        seed=0,
+    )
+    seq = generate_synthetic_sequence(spec)
+    cfg = UslamConfig()
+    cam = StereoCamera.from_config(cfg.camera)
+    graph, initial, _odom, _ = pack_sequence(seq, cfg, dtype=jnp.float32)
+
+    # Production path: f32 full policy + f64 polish tail.
+    from uslam_tpu.pipeline import run_solver
+
+    values, stats = run_solver(
+        graph, initial, cam,
+        cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+        cfg.solver,
+    )
+    polished, _pinfo = polish_f64(
+        graph, values, cam,
+        cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+        cfg.solver,
+    )
+
+    # Oracle: f64 LM from the initial estimate (exact algebra; Schur path —
+    # banded==dense==exact in f64). Content-addressed cache.
+    cache = os.path.join(
+        os.path.expanduser("~/.cache"),
+        f"uslam_oracle_1k_s{spec.seed}_m{spec.num_landmarks}"
+        f"_d{int(spec.duration)}.npz",
+    )
+    if os.path.exists(cache):
+        oracle_pos = np.load(cache)["pose_trans"]
+    else:
+        oracle, _oinfo = polish_f64(
+            graph, initial, cam,
+            cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
+            cfg.solver, max_iters=40,
+        )
+        oracle_pos = np.asarray(oracle.pose_trans, np.float64)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(cache, pose_trans=oracle_pos)
+
+    n = initial.num_poses
+    gt = np.asarray(seq.gt_pos[:n], np.float64)
+    ate_oracle = ate_rmse(oracle_pos[:n], gt)
+    ate_polished = ate_rmse(np.asarray(polished.pose_trans, np.float64)[:n], gt)
+    ate_f32 = ate_rmse(np.asarray(values.pose_trans, np.float64)[:n], gt)
+
+    assert ate_f32 <= ate_oracle * 3.5, (ate_f32, ate_oracle)
+    assert ate_polished <= ate_oracle * 1.01 + 1e-4, (ate_polished, ate_oracle)

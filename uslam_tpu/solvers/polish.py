@@ -73,15 +73,33 @@ def polish_f64(
         )
         err_fn = jax.jit(partial(graph_error, graph64, **kw))
         lin_fn = jax.jit(partial(linearize_graph, graph64, **kw))
-        solve_fn = jax.jit(
-            lambda lin, lam: solve_schur(
-                lin, graph64.stereo, n, m, lam,
-                # f64: rounding-level jitter, light refinement.
-                refine_iters=2, jitter=1e-12,
-                diag_damping=cfg.damping_mode == "diag",
-                eliminate_velocities=cfg.eliminate_velocities,
+        if cfg.reduced_solver == "banded" and cfg.band_width > 0:
+            # Banded reduced solve in f64: keeps the polish O(N P^2) at
+            # survey scale where the dense path's O((6N)^3) host cost
+            # would dominate (banded==dense is f64-locked in
+            # tests/test_banded.py, so this changes nothing but cost).
+            from uslam_tpu.solvers.banded import solve_schur_banded
+
+            solve_fn = jax.jit(
+                lambda lin, lam: solve_schur_banded(
+                    lin, graph64.stereo, n, m, lam,
+                    band_w=cfg.band_width,
+                    panel=cfg.banded_panel or None,
+                    refine_iters=2, jitter=1e-12,
+                    diag_damping=cfg.damping_mode == "diag",
+                    corr_window=cfg.banded_corr_window,
+                )
             )
-        )
+        else:
+            solve_fn = jax.jit(
+                lambda lin, lam: solve_schur(
+                    lin, graph64.stereo, n, m, lam,
+                    # f64: rounding-level jitter, light refinement.
+                    refine_iters=2, jitter=1e-12,
+                    diag_damping=cfg.damping_mode == "diag",
+                    eliminate_velocities=cfg.eliminate_velocities,
+                )
+            )
         retract = jax.jit(values_retract)
 
         error0 = error = float(err_fn(vals))
