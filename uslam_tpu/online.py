@@ -260,6 +260,7 @@ class OnlineSlam:
             "triangulate_ms": 0.0,
             "smoother_ms": (t3 - t0) * 1e3,
             "total_ms": (t3 - t0) * 1e3,
+            "lm_iters": int(_stats.iterations),
             "fused": True,
         }
         sm.timings.append(

@@ -367,6 +367,7 @@ class FixedLagSmoother:
                 "record_ms": (t1 - t0) * 1e3,
                 "solve_ms": (t2 - t1) * 1e3,   # upload + device execution
                 "fetch_ms": (t3 - t2) * 1e3,   # device->host round trip
+                "lm_iters": int(_stats.iterations),
             }
         )
 
