@@ -469,6 +469,44 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
         n = min(len(traj), len(seq.gt_pos))
         stats["ate"] = round(ate_rmse(traj[:n], seq.gt_pos[:n]), 4)
     log(f"bench[online]: {stats}")
+
+    if fused:
+        # Pipelined (deferred-fetch) pass: identical device program, the
+        # estimate fetch of keyframe k harvested at keyframe k+1 — the
+        # sustained-throughput configuration (one-keyframe result lag).
+        piped = OnlineSlam(
+            UslamConfig(), window=window, pipelined=True,
+            solve_during_fill=False,
+        )
+        t_wall = time.perf_counter()
+        for kind, t, i in events:
+            if kind == "imu":
+                piped.add_imu(t, seq.imu_acc[i], seq.imu_gyro[i])
+            elif kind == "press":
+                piped.add_pressure(t, seq.pressure_mbar[i])
+            elif kind == "pose":
+                piped.add_dvl_pose(t, seq.dvl_pose_quat[i], seq.dvl_pose_pos[i])
+            elif kind == "twist":
+                piped.add_dvl_twist(t, seq.dvl_twist_vel[i])
+            else:
+                piped.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
+        piped.flush()
+        p_wall = time.perf_counter() - t_wall
+        p_steady = [e for e in piped.timings if e.get("pipelined")][2:]
+        if p_steady:
+            p_tot = np.sort([e["total_ms"] for e in p_steady])
+            p_traj = piped.trajectory()
+            pstats = {
+                "median_ms": round(float(p_tot[len(p_tot) // 2]), 1),
+                "p90_ms": round(float(p_tot[int(len(p_tot) * 0.9)]), 1),
+                "steady_fps": round(1e3 / float(np.mean(p_tot)), 2),
+                "fps": round(piped.keyframes / p_wall, 2),
+            }
+            if seq.gt_pos is not None and len(p_traj):
+                n = min(len(p_traj), len(seq.gt_pos))
+                pstats["ate"] = round(ate_rmse(p_traj[:n], seq.gt_pos[:n]), 4)
+            stats["pipelined"] = pstats
+            log(f"bench[online:pipelined]: {pstats}")
     return stats
 
 

@@ -96,3 +96,17 @@ def test_fused_online_matches_split_device_path():
     ate_odom = ate_rmse(np.asarray(seq.dvl_pose_pos[:m]), gt[:m])
     assert ate_fused < ate_odom, (ate_fused, ate_odom)
     assert ate_fused <= ate_split * 1.2 + 0.02, (ate_fused, ate_split)
+
+    # Pipelined (deferred-fetch) mode dispatches the IDENTICAL device
+    # program on identical inputs — only the fetch timing moves — so its
+    # trajectory must match the synchronous fused run exactly.
+    piped = OnlineSlam(cfg, window=6, pipelined=True)
+    _stream(piped, seq)
+    piped.flush()
+    assert piped.keyframes == fused.keyframes
+    assert any(e.get("pipelined") for e in piped.timings)
+    # Every pipelined keyframe's deferred fetch was harvested.
+    assert piped._pending is None
+    traj_p = piped.trajectory()
+    assert traj_p.shape == traj_f.shape
+    np.testing.assert_array_equal(traj_p, traj_f)

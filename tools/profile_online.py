@@ -77,6 +77,7 @@ def main():
     duration = float(os.environ.get("ONLINE_DURATION", "20"))
     window = int(os.environ.get("ONLINE_WINDOW", "10"))
     fused = os.environ.get("ONLINE_FUSED", "1") == "1"
+    pipelined = os.environ.get("ONLINE_PIPELINED", "0") == "1"
     seq = load_stream(duration)
 
     cfg = UslamConfig()
@@ -98,7 +99,7 @@ def main():
 
     online = OnlineSlam(
         cfg, window=window, device_resident=True, fused=fused,
-        solve_during_fill=False,
+        pipelined=pipelined, solve_during_fill=False,
     )
     events = (
         [("imu", t, i) for i, t in enumerate(seq.imu_t)]
@@ -137,23 +138,30 @@ def main():
                 online.timings[-1]["wall_s"] = time.perf_counter() - t_wall
     wall = time.perf_counter() - t_wall
 
-    steady = [e for e in online.timings if "solve_ms" in e][2:]
+    online.flush()
+    steady = [e for e in online.timings if e.get("fused")][2:]
     for e in steady:
         log(
-            f"  kf: total {e['total_ms']:6.1f}  solve {e['solve_ms']:6.1f}  "
-            f"fetch {e['fetch_ms']:5.1f}  rec {e['record_ms']:4.1f}  "
-            f"iters {e.get('lm_iters', -1)}"
+            f"  kf: total {e['total_ms']:6.1f}  "
+            + (f"solve {e['solve_ms']:6.1f}  fetch {e['fetch_ms']:5.1f}  "
+               if "solve_ms" in e
+               else f"dispatch {e['dispatch_ms']:6.1f}  "
+                    f"harvest {e.get('harvest_ms', -1):5.1f}  ")
+            + f"rec {e['record_ms']:4.1f}  iters {e.get('lm_iters', -1)}"
             + (f"  probe {e['probe_ms']:5.1f}" if "probe_ms" in e else "")
             + (f"  wall {e['wall_s']:6.1f}" if "wall_s" in e else "")
         )
-    med = lambda k: float(np.median([e[k] for e in steady]))  # noqa: E731
+    med = lambda k: float(  # noqa: E731
+        np.median([e[k] for e in steady if k in e] or [-1])
+    )
     iters = [e["lm_iters"] for e in steady if "lm_iters" in e]
     traj = online.trajectory()
     n = min(len(traj), len(seq.gt_pos))
     log(
         f"steady n={len(steady)}  median total {med('total_ms'):.1f} ms  "
         f"solve {med('solve_ms'):.1f}  fetch {med('fetch_ms'):.1f}  "
-        f"record {med('record_ms'):.1f}"
+        f"record {med('record_ms'):.1f}  dispatch {med('dispatch_ms'):.1f}  "
+        f"harvest {med('harvest_ms'):.1f}"
     )
     log(
         f"iters median {np.median(iters) if iters else -1}  "

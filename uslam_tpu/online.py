@@ -47,9 +47,21 @@ class OnlineSlam:
     # trips total, zero host math on the critical path). Implies
     # device_resident.
     fused: bool = False
+    # Pipeline the result fetch: the estimate fetch of keyframe k is
+    # started asynchronously (copy_to_host_async) and harvested at
+    # keyframe k+1, so the device->host round trip leaves the critical
+    # path. add_stereo_frame then returns the PREVIOUS keyframe's window
+    # estimate (one-keyframe result lag — the standard streaming
+    # pipelining trade; state evolution on device is unaffected because
+    # the window state never leaves the device). Implies fused. Call
+    # :meth:`flush` (or ``trajectory()``, which flushes) to drain the
+    # last pending keyframe.
+    pipelined: bool = False
 
     def __post_init__(self):
         self.frontend = StereoFrontend(self.config.camera, self.config.frontend)
+        if self.pipelined:
+            self.fused = True
         if self.fused:
             self.device_resident = True
         self.smoother = FixedLagSmoother(
@@ -63,6 +75,8 @@ class OnlineSlam:
             ),
         )
         self._fe_state = None          # device FusedFrontendState
+        self._pending = None           # pipelined: (outputs, imu, twist, entry)
+        self._last_values = None       # pipelined: previous keyframe estimate
         self._helper = AUVSlam(self.config)   # landmark triangulation helper
         self._imu_buf: list = []
         self._depth: float | None = None
@@ -164,12 +178,20 @@ class OnlineSlam:
             entry.update(self.smoother.timings[-1])
         self.timings.append(entry)
         self.keyframes += 1
+        self._last_values = values   # pipelined: seed the one-lag return
         return values
 
     def _fused_step(self, t: float, left, right):
         """Steady-state keyframe through the fully-fused device program
         (solvers.fixed_lag._fused_keyframe_step): one stereo-pair upload +
-        one small-record upload + one estimate fetch."""
+        one small-record upload + one estimate fetch.
+
+        Transport layout (high-latency links): the stereo-pair and record
+        uploads are STARTED first (device_put is asynchronous) so they
+        overlap the host-side record math; in ``pipelined`` mode the
+        estimate fetch is started asynchronously and harvested at the next
+        keyframe, taking the device->host round trip off the critical path
+        entirely (one-keyframe result lag)."""
         import time as _time
 
         import jax
@@ -179,7 +201,6 @@ class OnlineSlam:
         from uslam_tpu.solvers.fixed_lag import (
             FusedFrontendState,
             FusedRecord,
-            _Keyframe,
             _fused_keyframe_step,
             _imu_whitener_record,
         )
@@ -202,6 +223,15 @@ class OnlineSlam:
                 )
             )
 
+        # Start the big upload FIRST; it proceeds while the host prepares
+        # the record below (device_put returns immediately).
+        pair = np.stack([np.asarray(left), np.asarray(right)])
+        pair_dev = jax.device_put(pair)
+
+        # Pipelined: finish the previous keyframe's bookkeeping now (its
+        # async fetch has had a full inter-keyframe interval to land).
+        self._harvest_pending()
+
         rv = np.zeros(3)
         if self._imu_buf and self.keyframes > 0:
             buf = np.stack(self._imu_buf)
@@ -222,36 +252,46 @@ class OnlineSlam:
             vel0=np.asarray(vel0, np.float32),
             rotvec=np.asarray(rv, np.float32),
         )
-        pair = np.stack([np.asarray(left), np.asarray(right)])
+        # Consolidated record upload, also started before the dispatch.
+        packed = jax.device_put(PackedPytree.pack(rec))
         kvec = np.asarray(
             [cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy],
             np.float32,
         )
         t1 = _time.perf_counter()
         sm._dev_state, self._fe_state, outputs = _fused_keyframe_step(
-            sm._dev_state, self._fe_state, pair, PackedPytree.pack(rec),
+            sm._dev_state, self._fe_state, pair_dev, packed,
             sm.cam, kvec,
             cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
             cfg.solver, cfg,
         )
+        twist = np.asarray(self._twist[1], np.float64)
+        if self.pipelined:
+            # Start the device->host copy now; harvest it at the next
+            # keyframe (or flush()). The window state stays on device, so
+            # correctness does not depend on when the copy lands.
+            for leaf in jax.tree.leaves(outputs):
+                leaf.copy_to_host_async()
+            t2 = _time.perf_counter()
+            entry = {
+                "record_ms": (t1 - t0) * 1e3,
+                "dispatch_ms": (t2 - t1) * 1e3,
+                "frontend_ms": 0.0,
+                "triangulate_ms": 0.0,
+                "smoother_ms": (t2 - t0) * 1e3,
+                "total_ms": (t2 - t0) * 1e3,
+                "fused": True,
+                "pipelined": True,
+            }
+            self._pending = (outputs, imu_samples, twist, entry)
+            self.timings.append(entry)
+            self.keyframes += 1
+            return self._last_values
         jax.block_until_ready(outputs)
         t2 = _time.perf_counter()
-        pq, pt, vv, departing, _stats = jax.device_get(outputs)
+        fetched = jax.device_get(outputs)
         t3 = _time.perf_counter()
-
-        # Roll the host mirror (full_trajectory / API parity); fused-mode
-        # mirror keyframes carry no feature lists (they live on device).
-        from uslam_tpu.graph.values import Values
-
-        sm._frames.append(
-            _Keyframe(pq[-1].astype(np.float64), pt[-1].astype(np.float64),
-                      vv[-1].astype(np.float64), imu_samples,
-                      np.asarray(self._twist[1], np.float64), None)
-        )
-        sm._frames.popleft()
-        for i, fr in enumerate(sm._frames):
-            fr.quat, fr.trans, fr.vel = pq[i + 1], pt[i + 1], vv[i + 1]
-        sm._trajectory.append(np.asarray(departing, np.float64))
+        values = self._finish_keyframe(fetched, imu_samples, twist)
         entry = {
             "record_ms": (t1 - t0) * 1e3,
             "solve_ms": (t2 - t1) * 1e3,
@@ -260,7 +300,7 @@ class OnlineSlam:
             "triangulate_ms": 0.0,
             "smoother_ms": (t3 - t0) * 1e3,
             "total_ms": (t3 - t0) * 1e3,
-            "lm_iters": int(_stats.iterations),
+            "lm_iters": int(fetched[4].iterations),
             "fused": True,
         }
         sm.timings.append(
@@ -268,14 +308,58 @@ class OnlineSlam:
         )
         self.timings.append(entry)
         self.keyframes += 1
-        return Values(
+        return values
+
+    def _finish_keyframe(self, fetched, imu_samples, twist):
+        """Roll the host mirror from fetched window estimates
+        (full_trajectory / API parity); fused-mode mirror keyframes carry
+        no feature lists (they live on device)."""
+        from uslam_tpu.graph.values import Values
+        from uslam_tpu.solvers.fixed_lag import _Keyframe
+
+        sm = self.smoother
+        pq, pt, vv, departing, _stats = fetched
+        sm._frames.append(
+            _Keyframe(pq[-1].astype(np.float64), pt[-1].astype(np.float64),
+                      vv[-1].astype(np.float64), imu_samples, twist, None)
+        )
+        sm._frames.popleft()
+        for i, fr in enumerate(sm._frames):
+            fr.quat, fr.trans, fr.vel = pq[i + 1], pt[i + 1], vv[i + 1]
+        sm._trajectory.append(np.asarray(departing, np.float64))
+        values = Values(
             pose_quat=pq, pose_trans=pt, vel=vv,
             bias=np.zeros(6, np.float32),
             landmarks=np.zeros((1, 3), np.float32),
         )
+        self._last_values = values
+        return values
+
+    def _harvest_pending(self) -> None:
+        """Pipelined mode: complete the previous keyframe's deferred fetch
+        and host-mirror roll."""
+        if self._pending is None:
+            return
+        import time as _time
+
+        import jax
+
+        outputs, imu_samples, twist, entry = self._pending
+        self._pending = None
+        th = _time.perf_counter()
+        fetched = jax.device_get(outputs)
+        entry["harvest_ms"] = (_time.perf_counter() - th) * 1e3
+        entry["lm_iters"] = int(fetched[4].iterations)
+        self._finish_keyframe(fetched, imu_samples, twist)
+
+    def flush(self) -> None:
+        """Drain the pipelined tail: completes any pending keyframe so that
+        ``trajectory()`` / checkpointing see every processed frame."""
+        self._harvest_pending()
 
     # ---- outputs ----------------------------------------------------------
 
     def trajectory(self) -> np.ndarray:
         """(T, 3) finalized + in-window positions so far."""
+        self._harvest_pending()
         return self.smoother.full_trajectory()
