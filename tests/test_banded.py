@@ -101,10 +101,69 @@ class TestBandedSolver:
                 np.asarray(d2), np.asarray(d1), rtol=1e-9, atol=1e-12
             )
 
+    def test_windowed_narrow_chunk_window_f64(self):
+        """Regression: windowed placement with F < 2*band_w (chunk obs
+        window barely wider than the longest track). The diagonal-
+        extraction shear once read flat[f*(F+1)+d], which for f+d >= F
+        wraps into row f+1's elements — structurally ZERO only when
+        F >= 2*band_w, so fixture graphs with short tracks passed while
+        long-track graphs (band_w ~ n) got a corrupted, indefinite band
+        (NaN Cholesky). The column-padded shear reads the zero pad
+        instead."""
+        with jax.enable_x64():
+            rng = np.random.default_rng(23)
+            n, m, K, span = 15, 8, 6, 13      # band_w ~ 13, cw ~ 14 < 2*bw
+            lin, stereo = _windowed_linearization(rng, n, m, K, span)
+            bw = measure_band_width(stereo)
+            from uslam_tpu.solvers.banded import measure_corr_window
+
+            cw = measure_corr_window(stereo, lm_chunk=4)
+            assert cw < 2 * bw, (cw, bw)      # the regression regime
+            d0 = solve_schur(
+                lin, stereo, n, m, 1e-2, diag_damping=True, jitter=1e-12
+            )
+            d1 = solve_schur_banded(
+                lin, stereo, n, m, 1e-2, band_w=bw,
+                diag_damping=True, jitter=1e-12, refine_iters=3,
+                corr_window=cw, corr_lm_chunk=4,
+            )
+            rel = np.linalg.norm(np.asarray(d1) - np.asarray(d0)) / (
+                np.linalg.norm(np.asarray(d0))
+            )
+            assert np.isfinite(np.asarray(d1)).all()
+            assert rel < 1e-8, rel
+
     def test_band_width_measurement(self):
         rng = np.random.default_rng(3)
         lin, stereo = _windowed_linearization(rng, 30, 8, 4, 6)
         assert 1 <= measure_band_width(stereo) <= 6
+
+    def test_corr_window_locality_with_masked_slots(self):
+        """Regression: landmarks with MASKED obs slots must still measure a
+        trajectory-local corr window. An int64 sentinel wrapped to -1 inside
+        np.where(int32 cam_g) once poisoned lo to -1 for any landmark with a
+        masked slot, silently disabling windowed placement (cw ~ n)."""
+        import jax.numpy as jnp
+
+        from uslam_tpu.solvers.banded import measure_corr_window
+
+        rng = np.random.default_rng(5)
+        n, m, K, span = 200, 40, 4, 5
+        lin, stereo = _windowed_linearization(rng, n, m, K, span)
+        # Mask one slot per landmark and order landmarks by first frame
+        # (first-appearance interning), as pack_sequence produces.
+        mask = np.asarray(stereo.lm_obs_mask).copy()
+        mask[:, -1] = 0.0
+        cam = np.asarray(stereo.cam_idx)
+        cam_g = cam[np.asarray(stereo.lm_obs_idx)]
+        lo = np.where(mask > 0, cam_g, n).min(axis=1)
+        order = np.argsort(lo, kind="stable")
+        stereo = stereo._replace(
+            lm_obs_idx=jnp.asarray(np.asarray(stereo.lm_obs_idx)[order]),
+            lm_obs_mask=jnp.asarray(mask[order]),
+        )
+        cw = measure_corr_window(stereo, lm_chunk=8)
+        assert cw < n // 2, cw  # local, not the whole trajectory
 
     def test_f32_sanity(self):
         """f32 path: finite, and close to the f64 answer at solver-noise

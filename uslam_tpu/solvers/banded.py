@@ -132,19 +132,96 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
     masked OUT — callers must pass band_w >= measure_band_width(stereo) or
     mass is silently lost (lm.py validates host-side).
 
-    ``corr_window`` (static): the dominant cost here is the frame-
-    placement one-hot matmul, rows x N x (wp1*36) FLOPs. Landmark indices
-    are interned in first-appearance order, so each lm_chunk's
-    observations span a narrow frame window; with corr_window >=
-    ``measure_corr_window(stereo, lm_chunk)`` the one-hot runs at that
-    width and the chunk's contribution lands via a dynamic-slice add —
-    an ~N/window FLOP cut (~8x at the 2k survey scale). 0 = full-width
-    placement (always safe).
+    ``corr_window`` (static): landmark indices are interned in first-
+    appearance order, so each lm_chunk's observations span a narrow frame
+    window; with corr_window >= ``measure_corr_window(stereo, lm_chunk)``
+    the correction factorizes per chunk. Each landmark has at most ONE
+    observation per frame, so the pair sum separates:
+
+        B[f, f+d] = sum_m Ytil[m, f] @ Wtil[m, f+d]^T
+
+    where Ytil/Wtil scatter Y/W onto window-local frame rows (one small
+    one-hot contraction each). ALL pairs then come from ONE MXU matmul
+    per chunk, P = Ytil^T Wtil over (landmark, 3), and the band diagonals
+    d in [0, band_w] fall out of P with a zero-compute pad-reshape shear
+    — no (Mc, K, K) pair tensor, no offset one-hot, no full-width
+    placement. ~10x less FLOPs/traffic than the pairwise formulation at
+    survey scale. 0 = full-width pairwise placement (always safe, used
+    when no window bound is known).
     """
     m, K = cam_g.shape
     dtype = W.dtype
     wp1 = band_w + 1
 
+    windowed = 0 < corr_window < n
+    X = wp1 * 36
+    B = jnp.zeros((n, X), dtype)
+
+    if windowed:
+        F = max(corr_window, wp1)  # extraction reads wp1 diagonals
+        g_corr = jnp.zeros((n, POSE_DIM), dtype)
+        frange = jnp.arange(F)
+        for s in range(0, m, lm_chunk):
+            Yc = Y[s : s + lm_chunk]                      # (Mc,K,6,3)
+            Wc = W[s : s + lm_chunk]
+            cg = cam_g[s : s + lm_chunk]                  # (Mc,K)
+            mk = obs_mask[s : s + lm_chunk]
+            mc = cg.shape[0]
+            valid = mk > 0
+            base = jnp.min(jnp.where(valid, cg, n))
+            base = jnp.clip(base, 0, max(n - F, 0))
+            zero = jnp.zeros((), base.dtype)
+            rel = jnp.where(valid, cg - base, F)          # invalid -> OOB
+            oh = (rel[..., None] == frange).astype(dtype)  # (Mc,K,F)
+            Ytil = jnp.einsum(
+                "mkf,mkab->mfab", oh, Yc,
+                precision=jax.lax.Precision.HIGH,
+            )                                              # (Mc,F,6,3)
+            Wtil = jnp.einsum(
+                "mkf,mkab->mfab", oh, Wc,
+                precision=jax.lax.Precision.HIGH,
+            )
+            Xm = Ytil.transpose(1, 2, 0, 3).reshape(F * POSE_DIM, mc * LM_DIM)
+            Zm = Wtil.transpose(1, 2, 0, 3).reshape(F * POSE_DIM, mc * LM_DIM)
+            P = jax.lax.dot_general(
+                Xm, Zm, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGH,
+            )                                              # (F*6, F*6)
+            # Band extraction shear: element (f, g) of the column-padded
+            # (F, F+band_w) view sits at flat f*(F+band_w) + g, so reading
+            # with row stride F+band_w+1 lands diagonal d = g-f in column
+            # d. The band_w zero columns are load-bearing: without them,
+            # rows with f+d >= F wrap into row f+1's elements — nonzero
+            # whenever F < 2*band_w (chunks whose obs window is not much
+            # wider than the longest track), which silently corrupts the
+            # band (indefinite Hessian -> NaN Cholesky).
+            Pb = (
+                P.reshape(F, POSE_DIM, F, POSE_DIM)
+                .transpose(0, 2, 1, 3)
+                .reshape(F, F, 36)
+            )
+            Pb = jnp.pad(Pb, ((0, 0), (0, band_w), (0, 0))).reshape(
+                F * (F + band_w), 36
+            )
+            diags = jnp.pad(Pb, ((0, F), (0, 0))).reshape(
+                F, F + band_w + 1, 36
+            )[:, :wp1]                                     # (F, wp1, 36)
+            patch = jax.lax.dynamic_slice(B, (base, zero), (F, X))
+            B = jax.lax.dynamic_update_slice(
+                B, patch + diags.reshape(F, X), (base, zero)
+            )
+            # Gradient: q[f] = sum_m Ytil[m, f] @ g_l[m].
+            qf = jnp.einsum(
+                "mfab,mb->fa", Ytil, g_l[s : s + lm_chunk],
+                precision=jax.lax.Precision.HIGH,
+            )
+            gp = jax.lax.dynamic_slice(g_corr, (base, zero), (F, POSE_DIM))
+            g_corr = jax.lax.dynamic_update_slice(
+                g_corr, gp + qf, (base, zero)
+            )
+        return B.reshape(n, wp1, POSE_DIM, POSE_DIM), g_corr
+
+    # ---- full-width pairwise fallback (no window bound known) -------------
     # Gradient part: q_mk = Y_mk g_l_m onto frame rows.
     q = jnp.einsum("mkab,mb->mka", Y, g_l)                # (M,K,6)
     g_corr = _chunked_frame_sum(
@@ -153,10 +230,7 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
         n,
     )
 
-    windowed = 0 < corr_window < n
     offs = jnp.arange(wp1)
-    X = wp1 * 36
-    B = jnp.zeros((n, X), dtype)
     for s in range(0, m, lm_chunk):
         Yc = Y[s : s + lm_chunk]                          # (Mc,K,6,3)
         Wc = W[s : s + lm_chunk]
@@ -175,28 +249,7 @@ def _band_correction(W, Y, g_l, cam_g, obs_mask, n: int, band_w: int,
             "mklx,mkld->mkdx", C.reshape(*C.shape[:3], 36), oh_d,
             precision=jax.lax.Precision.HIGH,
         ).reshape(-1, X)                                  # (Mc*K, X)
-        rows = cg.reshape(-1)
-        valid = (mk.reshape(-1) > 0)
-        if windowed:
-            # Chunk obs live in [base, base + corr_window) by the measured
-            # bound; place with a narrow one-hot + dynamic-slice add.
-            base = jnp.min(jnp.where(valid, rows, n))
-            base = jnp.clip(base, 0, max(n - corr_window, 0))
-            rel = jnp.where(valid, rows - base, corr_window)  # pad -> OOB
-            onehot = (
-                rel[:, None] == jnp.arange(corr_window)[None, :]
-            ).astype(dtype)
-            contrib = jax.lax.dot_general(
-                onehot, Cd, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGH,
-            )                                             # (window, X)
-            zero = jnp.zeros((), base.dtype)
-            patch = jax.lax.dynamic_slice(
-                B, (base, zero), (corr_window, X)
-            ) + contrib
-            B = jax.lax.dynamic_update_slice(B, patch, (base, zero))
-        else:
-            B = B + _chunked_frame_sum(Cd, rows, n)
+        B = B + _chunked_frame_sum(Cd, cg.reshape(-1), n)
     return B.reshape(n, wp1, POSE_DIM, POSE_DIM), g_corr
 
 
@@ -211,13 +264,17 @@ def measure_corr_window(stereo: StereoObservations, lm_chunk: int = 128) -> int:
     it equals N (then windowing is a no-op)."""
     cam = np.asarray(stereo.cam_idx)
     mask = np.asarray(stereo.lm_obs_mask) > 0
-    cam_g = cam[np.asarray(stereo.lm_obs_idx)]
+    # int64 BEFORE the where: an int64 sentinel against an int32 cam_g
+    # wraps to -1 inside np.where (dtype stays int32), poisoning lo to -1
+    # for every landmark with a masked slot — the measured window then
+    # covers the whole trajectory and windowing silently disables.
+    cam_g = cam[np.asarray(stereo.lm_obs_idx)].astype(np.int64)
     m = cam_g.shape[0]
     if not mask.any():
         return 1
     big = np.iinfo(np.int64).max
-    lo_m = np.where(mask, cam_g, big).min(axis=1).astype(np.int64)   # (M,)
-    hi_m = np.where(mask, cam_g, -1).max(axis=1).astype(np.int64)
+    lo_m = np.where(mask, cam_g, big).min(axis=1)                    # (M,)
+    hi_m = np.where(mask, cam_g, -1).max(axis=1)
     # Vectorized sliding min/max (a Python loop of tiny reductions costs
     # ~0.1-0.3 s at survey scale — comparable to the whole ingest).
     w = min(lm_chunk, m)
