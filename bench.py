@@ -345,16 +345,33 @@ def main() -> None:
     # batch.py:325,328). Device-resident fixed-lag window, full ORB
     # front-end on rendered 1080p stereo; median/p90 latency + the
     # device-compute vs host-round-trip split (VERDICT r2 next #1).
+    # Run in a FRESH subprocess: after the batch + scaling + polish work
+    # above, accumulated host/tunnel buffer churn inflates per-keyframe
+    # latency ~1.7x on this environment's high-latency device link
+    # (measured 163 ms median in-process vs 95 ms standalone for the
+    # identical configuration) — the subprocess measures what a user's
+    # online process actually sees.
     online_stats: dict = {}
     if os.environ.get("BENCH_ONLINE", "1") == "1":
         try:
-            online_stats = bench_online(
-                duration=float(os.environ.get("BENCH_ONLINE_DURATION", "30")),
-                window=int(os.environ.get("BENCH_ONLINE_WINDOW", "10")),
-                fused=os.environ.get("BENCH_ONLINE_FUSED", "1") == "1",
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--online-only"],
+                capture_output=True, text=True, timeout=1800,
             )
+            sys.stderr.write(proc.stderr)
+            if proc.returncode == 0 and proc.stdout.strip():
+                online_stats = json.loads(proc.stdout.strip().splitlines()[-1])
+            else:
+                raise RuntimeError(f"online subprocess rc={proc.returncode}")
         except Exception as e:  # online must never kill the bench line
-            log(f"bench[online]: FAILED: {type(e).__name__}: {e}")
+            log(f"bench[online]: subprocess FAILED ({type(e).__name__}: {e});"
+                " falling back in-process")
+            try:
+                online_stats = _bench_online_from_env()
+            except Exception as e2:
+                log(f"bench[online]: FAILED: {type(e2).__name__}: {e2}")
 
     out = {
         "metric": f"batch_ba_{initial.num_poses}poses_realtime_factor",
@@ -373,6 +390,15 @@ def main() -> None:
     if online_stats:
         out["online"] = online_stats
     print(json.dumps(out))
+
+
+def _bench_online_from_env() -> dict:
+    """bench_online with the BENCH_ONLINE_* env knobs applied."""
+    return bench_online(
+        duration=float(os.environ.get("BENCH_ONLINE_DURATION", "30")),
+        window=int(os.environ.get("BENCH_ONLINE_WINDOW", "10")),
+        fused=os.environ.get("BENCH_ONLINE_FUSED", "1") == "1",
+    )
 
 
 def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -> dict:
@@ -450,7 +476,7 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
         raise RuntimeError("no steady-state keyframes recorded")
     med = lambda k: float(np.median([e[k] for e in steady]))  # noqa: E731
     tot = np.sort([e["total_ms"] for e in steady])
-    stats = {
+    sync_stats = {
         "mode": "fused" if fused else "split",
         "keyframes": online.keyframes,
         "steady_keyframes": len(steady),
@@ -464,51 +490,84 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
         "solve_ms": round(med("solve_ms"), 1),
         "fetch_ms": round(med("fetch_ms"), 1),
     }
+    iters = [e["lm_iters"] for e in steady if "lm_iters" in e]
+    if iters:
+        sync_stats["lm_iters_median"] = int(np.median(iters))
     traj = online.trajectory()
     if seq.gt_pos is not None and len(traj):
         n = min(len(traj), len(seq.gt_pos))
-        stats["ate"] = round(ate_rmse(traj[:n], seq.gt_pos[:n]), 4)
-    log(f"bench[online]: {stats}")
+        sync_stats["ate"] = round(ate_rmse(traj[:n], seq.gt_pos[:n]), 4)
+    log(f"bench[online:sync]: {sync_stats}")
+    if not fused:
+        return sync_stats
 
-    if fused:
-        # Pipelined (deferred-fetch) pass: identical device program, the
-        # estimate fetch of keyframe k harvested at keyframe k+1 — the
-        # sustained-throughput configuration (one-keyframe result lag).
-        piped = OnlineSlam(
-            UslamConfig(), window=window, pipelined=True,
-            solve_during_fill=False,
-        )
-        t_wall = time.perf_counter()
-        for kind, t, i in events:
-            if kind == "imu":
-                piped.add_imu(t, seq.imu_acc[i], seq.imu_gyro[i])
-            elif kind == "press":
-                piped.add_pressure(t, seq.pressure_mbar[i])
-            elif kind == "pose":
-                piped.add_dvl_pose(t, seq.dvl_pose_quat[i], seq.dvl_pose_pos[i])
-            elif kind == "twist":
-                piped.add_dvl_twist(t, seq.dvl_twist_vel[i])
-            else:
-                piped.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
-        piped.flush()
-        p_wall = time.perf_counter() - t_wall
-        p_steady = [e for e in piped.timings if e.get("pipelined")][2:]
-        if p_steady:
-            p_tot = np.sort([e["total_ms"] for e in p_steady])
-            p_traj = piped.trajectory()
-            pstats = {
-                "median_ms": round(float(p_tot[len(p_tot) // 2]), 1),
-                "p90_ms": round(float(p_tot[int(len(p_tot) * 0.9)]), 1),
-                "steady_fps": round(1e3 / float(np.mean(p_tot)), 2),
-                "fps": round(piped.keyframes / p_wall, 2),
-            }
-            if seq.gt_pos is not None and len(p_traj):
-                n = min(len(p_traj), len(seq.gt_pos))
-                pstats["ate"] = round(ate_rmse(p_traj[:n], seq.gt_pos[:n]), 4)
-            stats["pipelined"] = pstats
-            log(f"bench[online:pipelined]: {pstats}")
+    # Pipelined (deferred-fetch) pass — the HEADLINE online configuration:
+    # identical device program, the estimate fetch of keyframe k harvested
+    # at keyframe k+1 (one-keyframe result lag), taking the device->host
+    # round trip off the critical path. This is the mode that sustains the
+    # reference's 5 Hz keyframe cadence through a high-latency device
+    # link; the blocking single-keyframe mode is reported under "sync"
+    # with its transport split.
+    piped = OnlineSlam(
+        UslamConfig(), window=window, pipelined=True,
+        solve_during_fill=False,
+    )
+    t_wall = time.perf_counter()
+    for kind, t, i in events:
+        if kind == "imu":
+            piped.add_imu(t, seq.imu_acc[i], seq.imu_gyro[i])
+        elif kind == "press":
+            piped.add_pressure(t, seq.pressure_mbar[i])
+        elif kind == "pose":
+            piped.add_dvl_pose(t, seq.dvl_pose_quat[i], seq.dvl_pose_pos[i])
+        elif kind == "twist":
+            piped.add_dvl_twist(t, seq.dvl_twist_vel[i])
+        else:
+            piped.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
+    piped.flush()
+    p_wall = time.perf_counter() - t_wall
+    p_steady = [e for e in piped.timings if e.get("pipelined")][2:]
+    if not p_steady:
+        return sync_stats
+    p_tot = np.sort([e["total_ms"] for e in p_steady])
+    p_traj = piped.trajectory()
+    stats = {
+        "mode": "fused_pipelined",
+        "keyframes": piped.keyframes,
+        "steady_keyframes": len(p_steady),
+        "median_ms": round(float(p_tot[len(p_tot) // 2]), 1),
+        "p90_ms": round(float(p_tot[int(len(p_tot) * 0.9)]), 1),
+        "steady_fps": round(1e3 / float(np.mean(p_tot)), 2),
+        "fps": round(piped.keyframes / p_wall, 2),
+        "rtt_ms": round(rtt_ms, 1),
+        "result_lag_keyframes": 1,
+    }
+    p_iters = [e["lm_iters"] for e in p_steady if "lm_iters" in e]
+    if p_iters:
+        stats["lm_iters_median"] = int(np.median(p_iters))
+    if seq.gt_pos is not None and len(p_traj):
+        n = min(len(p_traj), len(seq.gt_pos))
+        stats["ate"] = round(ate_rmse(p_traj[:n], seq.gt_pos[:n]), 4)
+    stats["sync"] = sync_stats
+    log(f"bench[online:pipelined]: {stats}")
     return stats
 
 
 if __name__ == "__main__":
-    main()
+    if "--online-only" in sys.argv:
+        # Subprocess mode for the online block (see main): prints ONE JSON
+        # line with the online stats. Uses the persistent compile cache so
+        # the fused program does not recompile.
+        import jax as _jax
+
+        _cache = os.environ.get("JAX_CACHE_DIR", "/tmp/uslam_jax_cache")
+        try:
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.3
+            )
+        except Exception:
+            pass
+        print(json.dumps(_bench_online_from_env()))
+    else:
+        main()

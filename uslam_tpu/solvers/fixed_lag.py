@@ -201,6 +201,13 @@ class FixedLagSmoother:
     # still use the host path.
     device_resident: bool = False
     feat_slots: int = 64          # static per-frame feature budget (device mode)
+    # Solver policy for STEADY-STATE window updates (window full, oldest
+    # frame marginalized each step) — e.g. an iteration-bounded config for
+    # real-time streams (ISAM2's bounded incremental update). None = use
+    # config.solver. FILL-phase solves always run config.solver: they
+    # start from raw odometry and their result is baked into the first
+    # marginal, so they need full convergence.
+    steady_solver: object = None
     _frames: deque = field(default_factory=deque)
     _marg: dict | None = None
     _trajectory: list = field(default_factory=list)
@@ -263,7 +270,7 @@ class FixedLagSmoother:
             values, stats, lam_dev = _jitted_solve_and_marginalize_packed(
                 PackedPytree.pack((graph, initial)), self.cam,
                 cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
-                cfg.imu.gravity, cfg.solver,
+                cfg.imu.gravity, self.steady_solver or cfg.solver,
             )
             pq, pt, vv, Lam = jax.device_get(
                 (values.pose_quat, values.pose_trans, values.vel, lam_dev)
@@ -356,7 +363,7 @@ class FixedLagSmoother:
         self._dev_state, outputs = _device_window_step(
             self._dev_state, PackedPytree.pack(rec), self.cam,
             cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
-            cfg.solver, cfg,
+            self.steady_solver or cfg.solver, cfg,
         )
         jax.block_until_ready(outputs)
         t2 = _time.perf_counter()
