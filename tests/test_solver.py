@@ -183,6 +183,27 @@ class TestBandAssembly:
             np.testing.assert_allclose(np.asarray(H_new), np.asarray(H_ref), atol=1e-12)
             np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_c), atol=1e-12)
 
+    def test_inv3x3_matches_lu_inverse(self):
+        """The closed-form adjugate 3x3 inverse (solvers/dense.py::inv3x3,
+        the landmark-elimination hot path — batched LU `linalg.inv`
+        measures ~25 ms/call on TPU independent of batch size) must match
+        `jnp.linalg.inv` to f64 rounding on damped SPD blocks, including
+        the near-singular padded-landmark case (Hll = 1e-8 I)."""
+        from uslam_tpu.solvers.dense import inv3x3
+
+        with jax.enable_x64():
+            rng = np.random.default_rng(7)
+            J = rng.standard_normal((64, 5, 3))
+            A = np.einsum("mkd,mke->mde", J, J) + 1e-8 * np.eye(3)
+            A[0] = 1e-8 * np.eye(3)  # padded landmark: damping floor only
+            X_adj = np.asarray(inv3x3(jnp.asarray(A)))
+            X_lu = np.linalg.inv(A)
+            np.testing.assert_allclose(X_adj, X_lu, rtol=1e-9, atol=1e-9)
+            # f32: agreement within batched-LU's own f32 rounding envelope.
+            X32 = np.asarray(inv3x3(jnp.asarray(A[1:], jnp.float32)))
+            rel = np.abs(X32 - X_lu[1:]) / (np.abs(X_lu[1:]) + 1e-3)
+            assert rel.max() < 5e-3, rel.max()
+
     def test_schur_equals_dense_f64(self):
         with jax.enable_x64():
             rng = np.random.default_rng(2)

@@ -45,6 +45,7 @@ import numpy as np
 from uslam_tpu.graph.builder import StereoObservations
 from uslam_tpu.graph.values import BIAS_DIM, LM_DIM, POSE_DIM, VEL_DIM
 from uslam_tpu.solvers.bands import CamBands, assemble_cam_bands
+from uslam_tpu.solvers.dense import inv3x3
 from uslam_tpu.solvers.linearize import Linearization
 
 FRAME_DIM = POSE_DIM + VEL_DIM  # 9
@@ -91,9 +92,9 @@ def _landmark_parts(lin: Linearization, stereo: StereoObservations, damping,
     g_l = -jnp.einsum("mkda,mkd->ma", Jl_g, r_g)
     eye3 = jnp.eye(LM_DIM, dtype=dtype)
     if diag_damping:
-        Hll_inv = jnp.linalg.inv(Hll + (lam * Hll) * eye3 + 1e-8 * eye3)
+        Hll_inv = inv3x3(Hll + (lam * Hll) * eye3 + 1e-8 * eye3)
     else:
-        Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
+        Hll_inv = inv3x3(Hll + (lam + 1e-8) * eye3)
 
     W = jnp.einsum("mkda,mkdb->mkab", Jp_g, Jl_g)         # (M,K,6,3)
     Y = jnp.einsum("mkab,mbc->mkac", W, Hll_inv)          # (M,K,6,3)

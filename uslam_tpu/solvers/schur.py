@@ -31,7 +31,7 @@ import numpy as np
 from uslam_tpu.graph.builder import StereoObservations
 from uslam_tpu.graph.values import BIAS_DIM, LM_DIM, POSE_DIM, VEL_DIM
 from uslam_tpu.solvers.bands import assemble_cam_bands, expand_cam_dense
-from uslam_tpu.solvers.dense import scaled_cho_solve
+from uslam_tpu.solvers.dense import inv3x3, scaled_cho_solve
 from uslam_tpu.solvers.linearize import Linearization
 
 
@@ -59,9 +59,9 @@ def landmark_elimination(
     # Damped 3x3 inverses (batched). Floor keeps padded landmarks sane.
     eye3 = jnp.eye(LM_DIM, dtype=dtype)
     if diag_damping:
-        Hll_inv = jnp.linalg.inv(Hll + (lam * Hll) * eye3 + 1e-8 * eye3)
+        Hll_inv = inv3x3(Hll + (lam * Hll) * eye3 + 1e-8 * eye3)
     else:
-        Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3)
+        Hll_inv = inv3x3(Hll + (lam + 1e-8) * eye3)
 
     W = jnp.einsum("mkda,mkdb->mkab", Jp_g, Jl_g)         # (M,K,6,3)
     Y = jnp.einsum("mkab,mbc->mkac", W, Hll_inv)          # (M,K,6,3)
