@@ -334,3 +334,55 @@ class TestRotationCompensation:
             integrate_gyro_rotvec(ws, 0.01), R.as_rotvec(), atol=1e-12
         )
         assert integrate_gyro_rotvec(np.zeros((0, 3)), 0.01).shape == (3,)
+
+
+class TestChunkedFrontend:
+    """Chunked offline path (StereoFrontend.process_chunk) vs the per-frame
+    streaming path: the temporal chain consumes only extraction outputs, so
+    batching across frames must not change any match or id assignment."""
+
+    cam = CameraConfig(
+        fx=200.0, fy=200.0, cx=128.0, cy=96.0, baseline=0.1,
+        resolution_x=256, resolution_y=192,
+    )
+    cfg = FrontendConfig(pyramid_levels=1, max_features_per_cell=6)
+
+    def _sequence(self, n=7, disp=8.0):
+        img = textured_image()
+        lefts, rights, rvs = [], [], []
+        for step in range(n):
+            left = nd_shift(img, (step, 3 * step), order=1, mode="nearest")
+            lefts.append(left)
+            rights.append(nd_shift(left, (0, -disp), order=1, mode="nearest"))
+            rvs.append(np.zeros(3, np.float32))
+        return np.stack(lefts), np.stack(rights), np.stack(rvs)
+
+    def test_matches_per_frame_path(self):
+        lefts, rights, rvs = self._sequence()
+        ts = 0.2 * np.arange(len(lefts))
+
+        fe_ref = StereoFrontend(self.cam, self.cfg)
+        ref = [
+            fe_ref.process(lefts[i], rights[i], float(ts[i]), gyro_rotvec=rvs[i])
+            for i in range(len(ts))
+        ]
+
+        # chunk=4 over 7 frames: one full chunk + one padded tail chunk
+        # (exercises pad_to) crossing a chunk boundary mid-track.
+        fe = StereoFrontend(self.cam, self.cfg)
+        got = []
+        for c0 in range(0, len(ts), 4):
+            c1 = min(c0 + 4, len(ts))
+            got.extend(fe.process_chunk(
+                lefts[c0:c1], rights[c0:c1], ts[c0:c1], rvs[c0:c1],
+                pad_to=4 if c1 - c0 < 4 else None,
+            ))
+        assert len(got) == len(ref)
+        assert len(ref[0].ids) >= 8
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a.ids, b.ids)
+            for fa, fb in zip((a.u0, a.v0, a.u1, a.v1), (b.u0, b.v0, b.u1, b.v1)):
+                np.testing.assert_allclose(fa, fb, atol=1e-6)
+        # Ids persist across the chunk boundary (frame 3 -> 4).
+        common = np.intersect1d(got[3].ids, got[4].ids)
+        assert len(common) >= 3, common

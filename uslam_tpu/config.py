@@ -131,6 +131,10 @@ class FrontendConfig:
     # detection, the reference nodelet's method — stereo.launch:41-43).
     temporal_tracker: str = "orb"
     klt_gate_px: float = 2.0
+    # Offline ingest batching: stereo pairs per fused device program in
+    # pipeline.run_sequence (StereoFrontend.process_chunk). Amortizes the
+    # per-dispatch device-link latency; 1 = per-frame (the online shape).
+    offline_chunk: int = 8
 
     @property
     def max_features(self) -> int:

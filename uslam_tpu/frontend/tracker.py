@@ -152,6 +152,65 @@ def _orb_pair_step(
     return kp_l, kp_r, sm.idx, sm.mask, tm_idx
 
 
+@_partial(jax.jit, static_argnames=("cfg",))
+def _orb_chunk_step(pairs, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig,
+                    rotvecs, kvec):
+    """C stereo pairs in ONE compiled program — the offline/throughput shape
+    (the reference nodelet's thread-pooled axis, launch/stereo.launch:33).
+
+    The temporal chain needs only the *extraction* outputs of frame i-1
+    (descriptors + coordinates), never the host-side id interning, so every
+    device stage batches across frames: one ``extract_orb_batch`` over all
+    2C images, then vmapped stereo match / temporal match / rotation warp /
+    RANSAC. ``prev_*`` carry the left keypoints of the frame before the
+    chunk (all-false mask = sequence start); ``rotvecs`` is (C, 3) integrated
+    gyro rotation frame i-1 -> i (zeros = no compensation).
+
+    Returns per-frame (kp_left, kp_right, stereo idx, stereo mask,
+    temporal idx or -1) with leading dim C — the same contract as
+    :func:`_orb_pair_step` per frame.
+    """
+    from uslam_tpu.frontend.orb import extract_orb_batch
+
+    c = pairs.shape[0]
+    imgs = pairs.astype(jnp.float32).reshape((2 * c,) + pairs.shape[2:])
+    kp = extract_orb_batch(imgs, cfg)
+    kp_l = jax.tree.map(lambda a: a[0::2], kp)
+    kp_r = jax.tree.map(lambda a: a[1::2], kp)
+    up = resolve_pallas(cfg.use_pallas)
+    sm = jax.vmap(
+        lambda dl, xl, ml, dr, xr, mr: stereo_match(
+            dl, xl, ml, dr, xr, mr,
+            max_distance=cfg.match_max_distance,
+            ratio=cfg.match_ratio,
+            max_v_diff=cfg.stereo_max_v_diff,
+            min_disparity=cfg.stereo_min_disparity,
+            use_pallas=up,
+        )
+    )(kp_l.desc, kp_l.xy, kp_l.mask, kp_r.desc, kp_r.xy, kp_r.mask)
+    # Previous-left keypoints per frame: the carry for frame 0, kp_l[i-1]
+    # within the chunk.
+    pdesc = jnp.concatenate([prev_desc[None], kp_l.desc[:-1]], axis=0)
+    pxy = jnp.concatenate([prev_xy[None], kp_l.xy[:-1]], axis=0)
+    pmask = jnp.concatenate([prev_mask[None], kp_l.mask[:-1]], axis=0)
+    tm = jax.vmap(
+        lambda d, m, pd, pm: match_descriptors(
+            d, m, pd, pm,
+            max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
+            use_pallas=up,
+        )
+    )(kp_l.desc, kp_l.mask, pdesc, pmask)
+    pxy_w = jax.vmap(lambda xy, rv: rotation_warp(xy, rv, kvec))(pxy, rotvecs)
+    flow = kp_l.xy - jnp.take_along_axis(
+        pxy_w, jnp.maximum(tm.idx, 0)[:, :, None], axis=1
+    )
+    inlier = jax.vmap(
+        lambda f, m: ransac_translation(f, m, threshold=cfg.ransac_threshold_px)
+    )(flow, tm.mask)
+    tm_idx = jnp.where(inlier, tm.idx, -1)
+    return kp_l, kp_r, sm.idx, sm.mask, tm_idx
+
+
 class StereoFrontend:
     """Stateful per-sequence wrapper around the stateless jit stages."""
 
@@ -278,25 +337,14 @@ class StereoFrontend:
             (tm_idx_d, sm_mask_d, sm_idx_d, kp_l.xy, kp_r.xy)
         )
 
-        # Host-side id interning: tracked keypoints inherit the previous id,
-        # fresh stereo-matched keypoints get new ids.
-        k = int(kp_l.mask.shape[0])
-        ids = np.full(k, -1, np.int64)
-        for i in range(k):
-            if not stereo_ok[i]:
-                continue
-            j = int(tm_idx[i])
-            if j >= 0 and self._prev_ids is not None and self._prev_ids[j] >= 0:
-                ids[i] = self._prev_ids[j]
-            else:
-                ids[i] = self._next_id
-                self._next_id += 1
-
+        ids = self._intern_ids(stereo_ok, tm_idx)
         self._prev = kp_l
-        self._prev_ids = ids
         self._prev_img = left
 
         # Output contract: normalized [-1, 1] coords (batch.py:152-154).
+        return self._emit_frame(t, ids, xy_l_all, xy_r_raw, sm_idx_np)
+
+    def _emit_frame(self, t, ids, xy_l_all, xy_r_raw, sm_idx_np) -> FeatureFrame:
         sel = ids >= 0
         xy_l = xy_l_all[sel]
         xy_r = xy_r_raw[sm_idx_np[sel]]
@@ -309,3 +357,93 @@ class StereoFrontend:
             u1=xy_r[:, 0] / (0.5 * rx) - 1.0,
             v1=xy_r[:, 1] / (0.5 * ry) - 1.0,
         )
+
+    def _intern_ids(self, stereo_ok, tm_idx) -> np.ndarray:
+        """Host-side id interning for one frame: tracked keypoints inherit
+        the previous frame's id, fresh stereo-matched keypoints get new ids.
+        Updates ``self._prev_ids``."""
+        k = len(stereo_ok)
+        ids = np.full(k, -1, np.int64)
+        for i in range(k):
+            if not stereo_ok[i]:
+                continue
+            j = int(tm_idx[i])
+            if j >= 0 and self._prev_ids is not None and self._prev_ids[j] >= 0:
+                ids[i] = self._prev_ids[j]
+            else:
+                ids[i] = self._next_id
+                self._next_id += 1
+        self._prev_ids = ids
+        return ids
+
+    def process_chunk(
+        self,
+        lefts: np.ndarray,
+        rights: np.ndarray,
+        ts,
+        gyro_rotvecs: np.ndarray | None = None,
+        pad_to: int | None = None,
+    ) -> list[FeatureFrame]:
+        """C rectified stereo pairs -> C FeatureFrames via ONE device
+        program + ONE device_get (the offline-throughput path; per-frame
+        ``process`` is the latency path and stays bit-compatible — the
+        temporal chain only consumes extraction outputs, so batching does
+        not change any match).
+
+        ORB temporal tracker only (KLT chunks fall back to per-frame).
+        ``pad_to`` pads a ragged tail chunk with zero images so every chunk
+        reuses one compiled program; padded outputs are discarded.
+        """
+        cfg = self.cfg
+        n_real = len(ts)
+        if cfg.temporal_tracker == "klt":
+            return [
+                self.process(
+                    lefts[i], rights[i], float(ts[i]),
+                    None if gyro_rotvecs is None else gyro_rotvecs[i],
+                )
+                for i in range(n_real)
+            ]
+        pairs = np.stack([np.asarray(lefts), np.asarray(rights)], axis=1)
+        rot = (
+            np.zeros((n_real, 3), np.float32)
+            if gyro_rotvecs is None
+            else np.asarray(gyro_rotvecs, np.float32)
+        )
+        if pad_to is not None and n_real < pad_to:
+            pad = pad_to - n_real
+            pairs = np.concatenate(
+                [pairs, np.zeros((pad,) + pairs.shape[1:], pairs.dtype)]
+            )
+            rot = np.concatenate([rot, np.zeros((pad, 3), np.float32)])
+
+        K = cfg.max_features
+        if self._prev is None:
+            prev_desc = jnp.zeros((K, 8), jnp.uint32)
+            prev_xy = jnp.zeros((K, 2), jnp.float32)
+            prev_mask = jnp.zeros((K,), bool)
+        else:
+            prev_desc, prev_xy, prev_mask = (
+                self._prev.desc, self._prev.xy, self._prev.mask,
+            )
+        kp_l, kp_r, sm_idx_d, sm_mask_d, tm_idx_d = _orb_chunk_step(
+            pairs, prev_desc, prev_xy, prev_mask, cfg,
+            jnp.asarray(rot), self._kvec(),
+        )
+        tm_idx, stereo_ok, sm_idx_np, xy_l_all, xy_r_raw = jax.device_get(
+            (tm_idx_d, sm_mask_d, sm_idx_d, kp_l.xy, kp_r.xy)
+        )
+        frames = []
+        for f in range(n_real):
+            ids = self._intern_ids(stereo_ok[f], tm_idx[f])
+            frames.append(
+                self._emit_frame(
+                    float(ts[f]), ids, xy_l_all[f], xy_r_raw[f], sm_idx_np[f]
+                )
+            )
+        # Carry the last REAL frame's left keypoints (padded frames are
+        # discarded entirely — a zero image yields no keypoints anyway, but
+        # the carry must be the true chain tail).
+        self._prev = jax.tree.map(lambda a: a[n_real - 1], kp_l)
+        self._prev_img = None  # KLT-only state; invalid after a chunk
+        return frames

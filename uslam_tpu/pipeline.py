@@ -469,28 +469,41 @@ def run_sequence(
 
         fe = StereoFrontend(config.camera, config.frontend)
         t0 = time.perf_counter()
-        seq.features = []
+        n_frames = len(seq.image_t)
+        # Integrated gyro rotation per inter-frame interval (host numpy,
+        # cheap) — enables rotation-compensated temporal RANSAC everywhere.
+        rotvecs = np.zeros((n_frames, 3), np.float32)
         prev_im_t = None
-        for i in range(len(seq.image_t)):
+        for i in range(n_frames):
             im_t = float(seq.image_t[i])
-            rv = None
             if prev_im_t is not None and len(seq.imu_t):
                 sl = slice_stream(seq.imu_t, prev_im_t, im_t)
                 if sl.stop > sl.start:
-                    rv = integrate_gyro_rotvec(
+                    rotvecs[i] = integrate_gyro_rotvec(
                         seq.imu_gyro[sl.start : sl.stop], config.imu.default_dt
                     )
-            seq.features.append(
-                fe.process(
-                    seq.images_left[i], seq.images_right[i], im_t, gyro_rotvec=rv
+            prev_im_t = im_t
+        # Chunked device pipeline: one program + one device_get per CHUNK
+        # frames (per-frame dispatch is latency-bound on remote-TPU links —
+        # the batched path is the nodelet thread pool's throughput axis,
+        # reference launch/stereo.launch:33).
+        chunk = max(1, int(config.frontend.offline_chunk))
+        seq.features = []
+        for c0 in range(0, n_frames, chunk):
+            c1 = min(c0 + chunk, n_frames)
+            seq.features.extend(
+                fe.process_chunk(
+                    seq.images_left[c0:c1], seq.images_right[c0:c1],
+                    seq.image_t[c0:c1], rotvecs[c0:c1],
+                    pad_to=chunk if c1 - c0 < chunk else None,
                 )
             )
-            prev_im_t = im_t
         log.info(
-            "frontend: %d stereo frames in %.2fs (%.1f fps)",
+            "frontend: %d stereo frames in %.2fs (%.1f fps, chunk=%d)",
             len(seq.features),
             time.perf_counter() - t0,
             len(seq.features) / max(time.perf_counter() - t0, 1e-9),
+            chunk,
         )
 
     if fast_ingest:
