@@ -80,3 +80,32 @@ class TestEndToEnd:
         # Landmarks were discovered by the front-end (not ground-truth fed).
         assert result.values.num_landmarks >= 8
         assert result.metrics["ate_rmse_vs_gt"] < 0.3
+
+    def test_images_path_klt(self):
+        """Raw stereo imagery with the KLT temporal tracker (the reference
+        nodelet's actual association method, stereo.launch:41-43) through
+        tracking -> graph -> solve end to end."""
+        cam = CameraConfig(
+            fx=300.0, fy=300.0, cx=192.0, cy=120.0, baseline=0.12,
+            resolution_x=384, resolution_y=240,
+        )
+        spec = SyntheticSpec(
+            duration=4.0, num_landmarks=120, odom_drift_rate=0.02,
+            max_feature_depth=12.0, seed=6,
+        )
+        seq = generate_synthetic_sequence(
+            spec, cam_cfg=cam, render_images=True, omit_features=True
+        )
+        cfg = UslamConfig(
+            camera=cam,
+            frontend=FrontendConfig(
+                pyramid_levels=1, max_features_per_cell=6,
+                temporal_tracker="klt",
+            ),
+            solver=SolverConfig(max_iterations=40),
+        )
+        result = run_sequence(seq, cfg)
+        assert result.values.num_poses >= 15
+        assert result.values.num_landmarks >= 8
+        assert result.metrics["final_error"] < result.metrics["initial_error"]
+        assert result.metrics["ate_rmse_vs_gt"] < 0.3

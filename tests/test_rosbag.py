@@ -279,3 +279,92 @@ def test_native_matches_python(tmp_path):
         np.testing.assert_array_equal(a.ids, b.ids)
         np.testing.assert_array_equal(a.u0, b.u0)
         np.testing.assert_array_equal(a.v1, b.v1)
+
+
+COMPRESSED_IMAGE_DEF = """\
+Header header
+string format
+uint8[] data
+"""
+
+
+def ser_compressed_image(t, img_u8):
+    import cv2
+
+    ok, buf = cv2.imencode(".png", img_u8)
+    assert ok
+    data = buf.tobytes()
+    return s_header(t) + s_string("png") + struct.pack("<I", len(data)) + data
+
+
+def test_bag_with_imagery_end_to_end(tmp_path):
+    """The only reference ingest shape not covered elsewhere: a bag carrying
+    CompressedImage stereo topics (stereo.launch:24-26) -> rosbag decode
+    (rosbag.py::_decode_image) -> ORB front-end -> graph -> solve, with no
+    precomputed features anywhere."""
+    pytest.importorskip("cv2")
+    from uslam_tpu.config import CameraConfig, FrontendConfig, SolverConfig, UslamConfig
+    from uslam_tpu.io.synthetic import SyntheticSpec, generate_synthetic_sequence
+    from uslam_tpu.pipeline import run_sequence
+
+    # Same shapes as test_pipeline's images path: the LM/front-end programs
+    # come from the shared persistent compile cache.
+    cam = CameraConfig(
+        fx=300.0, fy=300.0, cx=192.0, cy=120.0, baseline=0.12,
+        resolution_x=384, resolution_y=240,
+    )
+    spec = SyntheticSpec(
+        duration=4.0, num_landmarks=120, odom_drift_rate=0.02,
+        max_feature_depth=12.0, seed=6,
+    )
+    src = generate_synthetic_sequence(
+        spec, cam_cfg=cam, render_images=True, omit_features=True
+    )
+
+    tp = BagTopics(
+        image_left="/zedm/zed_node/left/image_rect_color/compressed",
+        image_right="/zedm/zed_node/right/image_rect_color/compressed",
+    )
+    msgs = []
+    for k, t in enumerate(src.imu_t):
+        msgs.append((tp.imu, "sensor_msgs/Imu", IMU_DEF, float(t),
+                     ser_imu(float(t), src.imu_acc[k], src.imu_gyro[k])))
+    for k, t in enumerate(src.pressure_t):
+        msgs.append((tp.pressure, "std_msgs/String", STRING_DEF, float(t),
+                     ser_pressure(float(t), float(src.pressure_mbar[k]))))
+    for k, t in enumerate(src.dvl_pose_t):
+        msgs.append((tp.dvl_pose, "geometry_msgs/PoseWithCovarianceStamped",
+                     POSE_COV_DEF, float(t),
+                     ser_pose_cov(float(t), src.dvl_pose_quat[k], src.dvl_pose_pos[k])))
+    for k, t in enumerate(src.dvl_twist_t):
+        msgs.append((tp.dvl_twist, "geometry_msgs/TwistStamped", TWIST_DEF,
+                     float(t), ser_twist(float(t), src.dvl_twist_vel[k])))
+    imgs_l = np.clip(src.images_left, 0, 255).astype(np.uint8)
+    imgs_r = np.clip(src.images_right, 0, 255).astype(np.uint8)
+    for k, t in enumerate(src.image_t):
+        msgs.append((tp.image_left, "sensor_msgs/CompressedImage",
+                     COMPRESSED_IMAGE_DEF, float(t),
+                     ser_compressed_image(float(t), imgs_l[k])))
+        msgs.append((tp.image_right, "sensor_msgs/CompressedImage",
+                     COMPRESSED_IMAGE_DEF, float(t),
+                     ser_compressed_image(float(t), imgs_r[k])))
+    msgs.sort(key=lambda m: m[3])
+    path = str(tmp_path / "imagery.bag")
+    write_bag(path, msgs, compression="lz4")
+
+    seq = bag_to_sequence(path, topics=tp, decode_images=True)
+    assert not seq.features and seq.images_left is not None
+    assert len(seq.image_t) == len(src.image_t)
+    # PNG is lossless: decoded frames match the uint8 originals exactly.
+    np.testing.assert_array_equal(np.asarray(seq.images_left, np.uint8), imgs_l)
+
+    cfg = UslamConfig(
+        camera=cam,
+        frontend=FrontendConfig(pyramid_levels=1, max_features_per_cell=6),
+        solver=SolverConfig(max_iterations=40),
+    )
+    result = run_sequence(seq, cfg)
+    assert result.values.num_poses >= 15
+    assert result.values.num_landmarks >= 8
+    assert result.metrics["converged"]
+    assert result.metrics["final_error"] < 1e-4 * result.metrics["initial_error"]

@@ -33,6 +33,13 @@ def inv3x3(A):
     and representable in f32: det >= 1e-24). f32 agreement with the LU
     inverse measures ~2e-4 relative on realistic Hll blocks — inside the
     rounding the solver's refinement loop already absorbs.
+
+    f32 entry-magnitude assumption: adj/det has no pivot-based scaling, so
+    block entries must stay below ~1e12 or det (~entries^3) overflows f32
+    to inf and the result silently degrades to a zero inverse. Whitened
+    stereo Jacobians put Hll entries at ~1e6 (det ~1e18, comfortably
+    finite); callers introducing new weighting should keep that headroom
+    or run under SolverConfig.debug_nans.
     """
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
