@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--poses", type=int, default=4000)
     ap.add_argument("--landmarks", type=int, default=0, help="0 = poses")
     ap.add_argument("--lm-chunk", type=int, default=128)
+    ap.add_argument("--panel", type=int, default=0, help="0 = auto pow2")
+    ap.add_argument("--refine", type=int, default=-1, help="-1 = config default")
+    ap.add_argument("--stages", default="all",
+                    help="all | solve (only factor/apply/solve/iter)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -85,9 +89,16 @@ def main():
     n, m = initial.num_poses, initial.num_landmarks
     bw = B.measure_band_width(graph.stereo)
     cw = B.measure_corr_window(graph.stereo, args.lm_chunk)
-    panel = 16
-    while panel < bw:
-        panel *= 2
+    if args.panel:
+        panel = args.panel
+    else:
+        panel = 16
+        while panel < bw:
+            panel *= 2
+    if args.refine >= 0:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, solver=_dc.replace(cfg.solver, refine_iters=args.refine))
     K = graph.stereo.lm_obs_idx.shape[1]
     print(
         f"n={n} m={m} K={K} band_w={bw} corr_window={cw} panel={panel} "
@@ -160,19 +171,22 @@ def main():
         lm_fn = jax.jit(lm_iter)
 
         print("stage timings (best of 3):")
-        timeit(lin_fn, initial, name="linearize_graph")
-        timeit(parts_fn, lin, name="landmark parts (Hll_inv, W, Y)")
-        t_corr = timeit(corr_fn, W, Y, g_l, name="band correction (placement)")
-        timeit(bands_fn, lin, name="camera band assembly")
-        timeit(fb_fn, bands, B_corr, g_corr, name="frame-band merge")
-        timeit(pan_fn, band, name="panelize (shear)")
+        t_corr = 0.0
+        if args.stages == "all":
+            timeit(lin_fn, initial, name="linearize_graph")
+            timeit(parts_fn, lin, name="landmark parts (Hll_inv, W, Y)")
+            t_corr = timeit(corr_fn, W, Y, g_l, name="band correction (placement)")
+            timeit(bands_fn, lin, name="camera band assembly")
+            timeit(fb_fn, bands, B_corr, g_corr, name="frame-band merge")
+            timeit(pan_fn, band, name="panelize (shear)")
         t_fac = timeit(fac_fn, D, O, name="Thomas factorization")
         timeit(app_fn, L, O, rhs, name="banded apply (7 rhs)")
         t_solve = timeit(solve_fn, lin, name="solve_schur_banded (full)")
         t_lm = timeit(lm_fn, initial, name="one full LM iteration")
         print(
             f"summary: correction {t_corr:.0f} + factor {t_fac:.0f} "
-            f"of solve {t_solve:.0f}; full iter {t_lm:.0f} ms"
+            f"of solve {t_solve:.0f}; full iter {t_lm:.0f} ms "
+            f"(panel={panel} refine={cfg.solver.refine_iters})"
         )
 
 
