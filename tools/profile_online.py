@@ -87,7 +87,9 @@ def main():
     if os.environ.get("ONLINE_PLATEAU"):
         sc = dataclasses.replace(sc, plateau_patience=int(os.environ["ONLINE_PLATEAU"]))
     cfg = dataclasses.replace(cfg, solver=sc)
-    log(f"solver: max_iters={sc.max_iterations} plateau={sc.plateau_patience}")
+    update_iters = int(os.environ.get("ONLINE_UPDATE_ITERS", "8"))
+    log(f"solver: max_iters={sc.max_iterations} plateau={sc.plateau_patience} "
+        f"update_cap={update_iters}")
 
     # Raw transport probe: fresh 4 MB uint8 upload (the stereo pair size).
     H, W = seq.images_left.shape[1:3]
@@ -100,6 +102,7 @@ def main():
     online = OnlineSlam(
         cfg, window=window, device_resident=True, fused=fused,
         pipelined=pipelined, solve_during_fill=False,
+        max_update_iters=update_iters,
     )
     events = (
         [("imu", t, i) for i, t in enumerate(seq.imu_t)]

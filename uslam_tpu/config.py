@@ -182,6 +182,14 @@ class SolverConfig:
     # trajectory-local). 0 = full-width placement (always safe); a
     # measured window cuts the placement FLOPs by ~N/window.
     banded_corr_window: int = 0
+    # Refinement passes for the BANDED reduced solve (< 0 = use
+    # refine_iters). The banded apply is two lax.scan sweeps over panels —
+    # per-step-overhead-bound on TPU — so each refinement pass costs ~15 ms
+    # at 4k poses, and the panelized Cholesky with Jacobi scaling needs
+    # less cleanup than the one big dense factor: measured at the 4k
+    # survey, 2 passes vs 4 is -30 ms/iter (159 -> 129) at the SAME outer
+    # iteration count, +0.08% final cost, +0.0005 ATE (CLAUDE.md r4).
+    banded_refine_iters: int = 2
     # Eliminate the velocity chain (dense scaled Cholesky of the 3N
     # velocity block + one symmetric G^T G correction matmul) before the
     # reduced factorization: the big Cholesky shrinks from 9N+6 to 6N+6

@@ -293,9 +293,9 @@ class OnlineSlam:
         if self.pipelined:
             # Start the device->host copy now; harvest it at the next
             # keyframe (or flush()). The window state stays on device, so
-            # correctness does not depend on when the copy lands.
-            for leaf in jax.tree.leaves(outputs):
-                leaf.copy_to_host_async()
+            # correctness does not depend on when the copy lands. outputs
+            # is ONE packed f32 buffer (one transfer round trip).
+            outputs.copy_to_host_async()
             t2 = _time.perf_counter()
             entry = {
                 "record_ms": (t1 - t0) * 1e3,
@@ -313,7 +313,9 @@ class OnlineSlam:
             return self._last_values
         jax.block_until_ready(outputs)
         t2 = _time.perf_counter()
-        fetched = jax.device_get(outputs)
+        from uslam_tpu.solvers.fixed_lag import _unpack_step_outputs
+
+        fetched = _unpack_step_outputs(jax.device_get(outputs))
         t3 = _time.perf_counter()
         values = self._finish_keyframe(fetched, imu_samples, twist)
         entry = {
@@ -371,7 +373,9 @@ class OnlineSlam:
         outputs, imu_samples, twist, entry = self._pending
         self._pending = None
         th = _time.perf_counter()
-        fetched = jax.device_get(outputs)
+        from uslam_tpu.solvers.fixed_lag import _unpack_step_outputs
+
+        fetched = _unpack_step_outputs(jax.device_get(outputs))
         entry["harvest_ms"] = (_time.perf_counter() - th) * 1e3
         entry["lm_iters"] = int(fetched[4].iterations)
         self._finish_keyframe(fetched, imu_samples, twist)

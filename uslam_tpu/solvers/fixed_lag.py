@@ -367,7 +367,9 @@ class FixedLagSmoother:
         )
         jax.block_until_ready(outputs)
         t2 = _time.perf_counter()
-        pq, pt, vv, departing, _stats = jax.device_get(outputs)
+        pq, pt, vv, departing, _stats = _unpack_step_outputs(
+            jax.device_get(outputs)
+        )
         t3 = _time.perf_counter()
         self.timings.append(
             {
@@ -643,9 +645,10 @@ def _device_window_step(
     ``state`` is a DeviceWindowState of device-resident arrays (donated —
     the rolled buffers reuse them); only ``packed_record`` (the new
     keyframe, a consolidated PackedPytree) crosses host->device. Returns
-    (new_state, outputs), outputs = (window quat/trans/vel, departing
-    finalized frame (10,), stats) — fetched in ONE device_get by the
-    caller."""
+    (new_state, outputs), outputs = ONE flat f32 buffer (window
+    quat/trans/vel, departing finalized frame (10,), stats —
+    ``_unpack_step_outputs``), fetched in ONE single-buffer device_get by
+    the caller."""
     return _window_step_core(
         state, packed_record.unpack(), cam, dvl_sigma, stereo_sigma, gravity,
         solver_cfg, config,
@@ -698,8 +701,45 @@ def _window_step_core(
     departing = jnp.concatenate(
         [values.pose_quat[0], values.pose_trans[0], values.vel[0]]
     )
-    outputs = (values.pose_quat, values.pose_trans, values.vel, departing, stats)
+    # ONE flat f32 output buffer: every separate output leaf pays its own
+    # first-transfer round trip through a remote-TPU link (~27 ms each,
+    # CLAUDE.md); the packed fetch is one round trip. Layout is
+    # self-describing (_unpack_step_outputs derives n from the length).
+    outputs = jnp.concatenate(
+        [
+            values.pose_quat.reshape(-1),
+            values.pose_trans.reshape(-1),
+            values.vel.reshape(-1),
+            departing,
+            jnp.stack(
+                [
+                    stats.initial_error.astype(jnp.float32),
+                    stats.final_error.astype(jnp.float32),
+                    stats.iterations.astype(jnp.float32),
+                    stats.final_lambda.astype(jnp.float32),
+                    stats.converged.astype(jnp.float32),
+                ]
+            ),
+        ]
+    )
     return new_state, outputs
+
+
+def _unpack_step_outputs(flat):
+    """Host-side inverse of the packed step output: flat (10n + 15,) f32 ->
+    (pose_quat (n,4), pose_trans (n,3), vel (n,3), departing (10,),
+    LMStats of f32 scalars)."""
+    flat = np.asarray(flat)
+    n = (flat.size - 15) // 10
+    o = 0
+    pq = flat[o : o + 4 * n].reshape(n, 4); o += 4 * n
+    pt = flat[o : o + 3 * n].reshape(n, 3); o += 3 * n
+    vv = flat[o : o + 3 * n].reshape(n, 3); o += 3 * n
+    departing = flat[o : o + 10]; o += 10
+    from uslam_tpu.solvers.lm import LMStats
+
+    stats = LMStats(*flat[o : o + 5])
+    return pq, pt, vv, departing, stats
 
 
 # ==========================================================================

@@ -126,7 +126,11 @@ def optimize_lm(
                 lam,
                 band_w=cfg.band_width,
                 panel=cfg.banded_panel or None,
-                refine_iters=cfg.refine_iters,
+                refine_iters=(
+                    cfg.banded_refine_iters
+                    if cfg.banded_refine_iters >= 0
+                    else cfg.refine_iters
+                ),
                 jitter=jitter,
                 diag_damping=diag_damping,
                 corr_window=cfg.banded_corr_window,
