@@ -73,11 +73,15 @@ def main():
 
     cfg = UslamConfig()
     n_lms = args.landmarks or args.poses
+    # Matches bench.py's scaling sweep problem EXACTLY (omega included —
+    # omega=0.15 turns raise the measured band width 41 -> 66 at 4k, which
+    # flips the auto panel from 64 to 128).
     spec = SyntheticSpec(
         trajectory="survey",
         duration=args.poses / 5.0,
         keyframe_rate=5.0,
         num_landmarks=n_lms,
+        omega=0.15,
         max_feature_depth=10.0,
         odom_drift_rate=0.02,
         feature_noise_px=0.3,
