@@ -69,7 +69,11 @@ class TestBandedSolver:
             lin, stereo = _windowed_linearization(rng, n, m, K, span)
             bw = measure_band_width(stereo)
             assert bw <= span
-            for panel in (8, 16):
+            # panel 12: NON-power-of-two (the auto panel snaps to multiples
+            # of 32 above 64 — solve_schur_banded — so the shear-reshape
+            # panelization must be exact for arbitrary panel sizes, incl.
+            # a ragged last panel: 25 = 2*12 + 1).
+            for panel in (8, 12, 16):
                 d0 = solve_schur(
                     lin, stereo, n, m, 1e-2, diag_damping=True, jitter=1e-12
                 )

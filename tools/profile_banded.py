@@ -99,6 +99,8 @@ def main():
         panel = 16
         while panel < bw:
             panel *= 2
+        if panel > 64:
+            panel = -(-bw // 32) * 32  # mirrors solve_schur_banded's auto
     if args.refine >= 0:
         import dataclasses as _dc
 

@@ -173,8 +173,10 @@ class SolverConfig:
     # (solvers.banded.measure_band_width on the packed graph).
     reduced_solver: str = "cholesky"
     band_width: int = 0
-    # Panel size (frames) for the banded factorization; 0 = next power of
-    # two >= max(band_width, 16).
+    # Panel size (frames) for the banded factorization; 0 = auto (next
+    # power of two >= max(band_width, 16), snapped down to the next
+    # multiple of 32 above 64 — the measured per-step-overhead sweet spot,
+    # solvers.banded.solve_schur_banded).
     banded_panel: int = 0
     # Frame-window width for the banded Schur-correction placement
     # one-hot (solvers.banded.measure_corr_window on the packed graph;

@@ -537,9 +537,16 @@ def solve_schur_banded(
     n = num_poses
     dtype = lin.stereo_r.dtype
     if panel is None:
+        # Next power of two >= band_w, but above 64 snap to the next
+        # multiple of 32 instead: the Thomas stages are per-step-overhead-
+        # bound (measured 4k sweep: panel 48 < 64 > 96 > 128 in speed with
+        # band_w 41; 96 beats 128 by ~3% at band_w 66), so the pow2 jump
+        # 64 -> 128 overshoots the sweet spot.
         panel = 16
         while panel < band_w:
             panel *= 2
+        if panel > 64:
+            panel = -(-band_w // 32) * 32
     if panel < band_w:
         raise ValueError(f"panel {panel} < band_w {band_w}")
 
