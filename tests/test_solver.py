@@ -13,6 +13,7 @@ from uslam_tpu.io.synthetic import SyntheticSpec, generate_synthetic_sequence
 from uslam_tpu.pipeline import AUVSlam, run_sequence, run_solver
 from uslam_tpu.solvers.dense import assemble_dense_with_landmarks, solve_dense_gn
 from uslam_tpu.solvers.linearize import graph_error, linearize_graph
+from uslam_tpu.solvers.polish import polish_f64
 from uslam_tpu.solvers.schur import solve_schur
 
 
@@ -291,7 +292,22 @@ class TestLM:
         final_ate = ate_rmse(np.asarray(values.pose_trans), seq.gt_pos[:n])
         assert float(stats.final_error) < float(stats.initial_error)
         assert final_ate < init_ate * 0.6, (init_ate, final_ate)
-        assert final_ate < 0.12, final_ate
+        # f32 envelope, NOT a quality pin: this clean problem's f64-exact
+        # optimum is ATE 0.0267, and the f32 LM floor lands 0.10-0.14
+        # depending on pure reduction-order luck (measured: swapping the
+        # batched-LU Hll inverse for the Newton-refined cofactor inv3x3 —
+        # residual 1e-7, numerically equivalent — moved it 0.11 -> 0.125).
+        # Real solution quality is pinned through the f64 polish below.
+        assert final_ate < 0.18, final_ate
+        # QUALITY pin: the f64 polish tail from the f32 solution must land
+        # near the f64-exact optimum (0.0267 for this seed; 2x headroom).
+        # This is the accuracy contract the f32 envelope above cannot hold.
+        pv, _ = polish_f64(
+            graph, values, slam.cam, cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+            cfg.imu.gravity, cfg.solver,
+        )
+        polished_ate = ate_rmse(np.asarray(pv.pose_trans), seq.gt_pos[:n])
+        assert polished_ate < 0.055, polished_ate
         # Regression lock on linear-solve step quality + stopping policy:
         # with accurate steps (refine_iters=10, jitter=1e-7) and the
         # progress-band plateau, LM stops in <=20 iterations; degraded
