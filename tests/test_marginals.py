@@ -9,6 +9,7 @@ dense inverse of the (floored) normal equations.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uslam_tpu.graph.values import BIAS_DIM, FRAME_DIM, LM_DIM, POSE_DIM, VEL_DIM
 from uslam_tpu.solvers.dense import assemble_dense_with_landmarks
@@ -16,6 +17,13 @@ from uslam_tpu.solvers.linearize import linearize_graph
 from uslam_tpu.solvers.marginals import marginal_covariances, marginal_sigmas
 
 from tests.test_solver import build_graph
+
+
+@pytest.fixture(scope="module")
+def graph_seed3():
+    """Shared problem for the two f64 dense-inverse oracle tests (the
+    graph build is a Python keyframe loop — ~10 s each on this box)."""
+    return build_graph(duration=3.0, drift=0.02, feature_noise=0.2, seed=3)
 
 
 def _to_f64(tree):
@@ -46,9 +54,8 @@ def _dense_cov_oracle(slam, graph, values):
     return np.linalg.inv(H + 1e-8 * np.eye(H.shape[0]))
 
 
-def test_marginals_match_dense_inverse_f64():
-    slam, graph, initial, _ = build_graph(duration=3.0, drift=0.02,
-                                          feature_noise=0.2, seed=3)
+def test_marginals_match_dense_inverse_f64(graph_seed3):
+    slam, graph, initial, _ = graph_seed3
     n, m = initial.num_poses, initial.num_landmarks
     poses = (0, 1, n - 1)
     vels = (0, n - 2)
@@ -136,11 +143,23 @@ def test_marginals_pipeline_surface():
         rtol=1e-6, atol=1e-9,
     )
 
+    # Joint-marginal public surface at the same solved estimate (the f64
+    # cross-block algebra is pinned against the dense-inverse oracle in
+    # test_joint_marginals_match_dense_inverse_f64).
+    J2 = np.asarray(slam.joint_marginals(
+        result, (("pose", 0), ("pose", 5), ("bias",), ("landmark", 0))
+    ))
+    assert J2.shape == (21, 21)
+    assert np.isfinite(J2).all()
+    np.testing.assert_allclose(J2, J2.T, atol=1e-12)
+
 
 def test_marginals_f32_smoke():
     """The raw f32 device path stays runnable (finite output) — accuracy
-    is an f64 story by design."""
-    slam, graph, initial, _ = build_graph(duration=3.0, seed=5)
+    is an f64 story by design. duration 1.5: smoke only needs the f32
+    program to compile and stay finite, and this shape's compile+run was
+    ~114 s at duration 3.0."""
+    slam, graph, initial, _ = build_graph(duration=1.5, seed=5)
     out = marginal_covariances(
         graph, initial, slam.cam,
         slam.config.noise.dvl_sigma, slam.config.noise.stereo_sigma,
@@ -149,7 +168,7 @@ def test_marginals_f32_smoke():
     assert np.isfinite(np.asarray(out.pose)).all()
 
 
-def test_joint_marginals_match_dense_inverse_f64():
+def test_joint_marginals_match_dense_inverse_f64(graph_seed3):
     """jointMarginalCovariance parity: the full joint covariance over a
     mixed key set (poses, vel, bias, landmarks) must reproduce the
     corresponding rows/columns of the dense inverse — including the CROSS
@@ -157,8 +176,7 @@ def test_joint_marginals_match_dense_inverse_f64():
     per-variable recovery never exercises."""
     from uslam_tpu.solvers.marginals import joint_marginal_covariance
 
-    slam, graph, initial, _ = build_graph(duration=3.0, drift=0.02,
-                                          feature_noise=0.2, seed=3)
+    slam, graph, initial, _ = graph_seed3
     n = initial.num_poses
     lm_counts = np.asarray(graph.stereo.lm_obs_mask).sum(axis=1)
     lms = [int(j) for j in np.nonzero(lm_counts > 0)[0][:2]]
@@ -194,10 +212,6 @@ def test_joint_marginals_match_dense_inverse_f64():
     # beyond the per-variable diagonal blocks).
     assert np.abs(J[:POSE_DIM, POSE_DIM : 2 * POSE_DIM]).max() > 1e-6
     assert np.abs(J[:POSE_DIM, -LM_DIM:]).max() > 1e-6
-
-    # Public API surface returns the same matrix at a solution.
-    result = slam.solve()
-    J2 = np.asarray(slam.joint_marginals(result, keys))
-    assert J2.shape == (27, 27)
-    assert np.isfinite(J2).all()
-    np.testing.assert_allclose(J2, J2.T, atol=1e-12)
+    # (The slam.joint_marginals public surface at a solved estimate is
+    # covered in test_marginals_pipeline_surface, which already pays for
+    # a full slam.solve(); duplicating the solve here cost ~30 s/run.)

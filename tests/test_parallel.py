@@ -6,7 +6,10 @@ Two layers:
   damping) through ``solve_schur(axis_name=...)``;
 - the FULL production LM policy (``optimize_lm`` — accept/reject
   while_loop, plateau stop) via ``sharded_optimize_lm``, pinned to the
-  single-chip solve at solver-noise tolerance over two graph sizes.
+  single-chip solve at solver-noise tolerance (one graph size: the f64
+  8-virtual-device while_loop interprets on this box's single core, so
+  each extra size was ~7 min of pure execution per suite run; the
+  per-iteration pin is size-independent algebra).
 """
 
 import jax
@@ -155,7 +158,7 @@ def test_sharded_banded_production_lm_smoke():
     scfg = dataclasses.replace(
         cfg.solver, reduced_solver="banded", band_width=bw,
         banded_corr_window=measure_corr_window(graph.stereo),
-        max_iterations=12, plateau_patience=3,
+        max_iterations=8, plateau_patience=3,
     )
     mesh = make_mesh(8)
     g_sh, v_sh = shard_landmarks(graph, initial, mesh)
@@ -181,7 +184,7 @@ def _to_f64(tree):
 
 
 @needs_mesh
-@pytest.mark.parametrize("duration", [3.0, 6.0])
+@pytest.mark.parametrize("duration", [3.0])
 def test_sharded_production_lm_matches_single_device(duration):
     """The FULL production policy (velocity elimination, Marquardt
     damping, accept/reject while_loop, plateau stop), sharded vs
@@ -240,9 +243,13 @@ def test_sharded_production_lm_full_solve_converges():
     """Short end-to-end smoke: the sharded production LM runs to
     CONVERGENCE in f64 and reaches the expected error decade (the
     per-iteration sharded==single pin above carries the equivalence
-    guarantee; this covers the convergence/termination plumbing)."""
+    guarantee; this covers the convergence/termination plumbing).
+
+    duration 2.0 (vs the pin's 3.0): a smaller graph halves the f64
+    while_loop's per-iteration interpretation cost on the 1-core
+    8-virtual-device mesh — this test only exercises termination."""
     slam, graph, initial, _ = build_graph(
-        duration=3.0, drift=0.05, feature_noise=0.3, seed=2
+        duration=2.0, drift=0.05, feature_noise=0.3, seed=2
     )
     cfg = slam.config
 

@@ -48,6 +48,7 @@ def main():
     ap.add_argument("--lm-chunk", type=int, default=128)
     ap.add_argument("--panel", type=int, default=0, help="0 = auto pow2")
     ap.add_argument("--refine", type=int, default=-1, help="-1 = config default")
+    ap.add_argument("--unroll", type=int, default=1, help="Thomas scan unroll")
     ap.add_argument("--stages", default="all",
                     help="all | solve (only factor/apply/solve/iter)")
     ap.add_argument("--cpu", action="store_true")
@@ -148,10 +149,11 @@ def main():
         )
         pan_fn = jax.jit(lambda band: B._panelize(band, panel))
         D, O = jax.block_until_ready(pan_fn(band))
-        fac_fn = jax.jit(B.block_tridiag_factor)
+        fac_fn = jax.jit(lambda D, O: B.block_tridiag_factor(D, O, unroll=args.unroll))
         L = jax.block_until_ready(fac_fn(D, O))
         rhs = jnp.zeros((D.shape[0], D.shape[1], 7), jnp.float32) + 1.0
-        app_fn = jax.jit(B.block_tridiag_apply)
+        app_fn = jax.jit(lambda L, O, r: B.block_tridiag_apply(L, O, r, unroll=args.unroll))
+        facapp_fn = jax.jit(lambda D, O, r: B.block_tridiag_factor_apply(D, O, r, unroll=args.unroll))
 
         solve_fn = jax.jit(
             lambda l: B.solve_schur_banded(
@@ -159,6 +161,7 @@ def main():
                 refine_iters=cfg.solver.refine_iters,
                 jitter=cfg.solver.cholesky_jitter, diag_damping=True,
                 corr_window=cw, corr_lm_chunk=args.lm_chunk,
+                unroll=args.unroll,
             )
         )
         err_fn = jax.jit(lambda v: graph_error(graph, values=v, **kwargs))
@@ -170,6 +173,7 @@ def main():
                 refine_iters=cfg.solver.refine_iters,
                 jitter=cfg.solver.cholesky_jitter, diag_damping=True,
                 corr_window=cw, corr_lm_chunk=args.lm_chunk,
+                unroll=args.unroll,
             )
             c = values_retract(v, d)
             return c, graph_error(graph, values=c, **kwargs)
@@ -187,12 +191,14 @@ def main():
             timeit(pan_fn, band, name="panelize (shear)")
         t_fac = timeit(fac_fn, D, O, name="Thomas factorization")
         timeit(app_fn, L, O, rhs, name="banded apply (7 rhs)")
+        timeit(facapp_fn, D, O, rhs, name="fused factor+apply (7 rhs)")
         t_solve = timeit(solve_fn, lin, name="solve_schur_banded (full)")
         t_lm = timeit(lm_fn, initial, name="one full LM iteration")
         print(
             f"summary: correction {t_corr:.0f} + factor {t_fac:.0f} "
             f"of solve {t_solve:.0f}; full iter {t_lm:.0f} ms "
-            f"(panel={panel} refine={cfg.solver.refine_iters})"
+            f"(panel={panel} refine={cfg.solver.refine_iters} "
+            f"unroll={args.unroll})"
         )
 
 

@@ -192,6 +192,11 @@ class SolverConfig:
     # survey, 2 passes vs 4 is -30 ms/iter (159 -> 129) at the SAME outer
     # iteration count, +0.08% final cost, +0.0005 ATE (CLAUDE.md r4).
     banded_refine_iters: int = 2
+    # lax.scan unroll factor for the Thomas factor/apply sweeps (each scan
+    # step costs ~50 us of loop overhead on TPU regardless of body size;
+    # at 4k poses one banded solve runs ~6 sweeps of N/panel steps, so
+    # unrolling trades compile time for a few ms/iteration).
+    banded_unroll: int = 1
     # Eliminate the velocity chain (dense scaled Cholesky of the 3N
     # velocity block + one symmetric G^T G correction matmul) before the
     # reduced factorization: the big Cholesky shrinks from 9N+6 to 6N+6

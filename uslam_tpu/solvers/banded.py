@@ -446,6 +446,55 @@ def _cho_solve_one(L_k, b):
     return jax.scipy.linalg.solve_triangular(L_k.T, y, lower=False)
 
 
+def block_tridiag_factor_apply(D, O, rhs, unroll: int = 1):
+    """Fused Thomas factorization + forward substitution: ONE scan computes
+    both the panel Cholesky factors L_k and the forward solution u_k, then
+    the backward sweep finishes the solve.
+
+    Returns (L, x). Mathematically identical to ``block_tridiag_factor``
+    followed by ``block_tridiag_apply`` — the fusion removes one full
+    ``lax.scan`` sweep over the panels (each sweep carries ~50 us/step of
+    loop overhead on TPU plus a triangular-solve pass over the factor),
+    which matters because the factorization is always immediately followed
+    by the bordered-system solve in ``solve_schur_banded``.
+    """
+    npan, d, _ = D.shape
+    k = rhs.shape[-1]
+    off_p = jnp.concatenate([jnp.zeros((1, d, d), D.dtype), O], axis=0)
+
+    def fwd(carry, inp):
+        L_prev, u_prev = carry
+        d_k, c_k, r_k = inp
+        w = jax.scipy.linalg.solve_triangular(L_prev, c_k, lower=True)
+        t_k = d_k - jax.lax.dot_general(
+            w, w, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        L_k = jnp.linalg.cholesky(t_k)
+        u_k = _cho_solve_one(L_k, r_k - c_k.T @ u_prev)
+        return (L_k, u_k), (L_k, u_k)
+
+    (_, _), (L, u) = jax.lax.scan(
+        fwd,
+        (jnp.eye(d, dtype=D.dtype), jnp.zeros((d, k), rhs.dtype)),
+        (D, off_p, rhs),
+        unroll=unroll,
+    )
+
+    off_t = jnp.concatenate([O, jnp.zeros((1, d, d), L.dtype)], axis=0)
+
+    def bwd(x_next, inp):
+        L_k, u_k, o_k = inp
+        x_k = u_k - _cho_solve_one(L_k, o_k @ x_next)
+        return x_k, x_k
+
+    _, x = jax.lax.scan(
+        bwd, jnp.zeros((d, k), rhs.dtype), (L, u, off_t),
+        reverse=True, unroll=unroll,
+    )
+    return L, x
+
+
 def block_tridiag_apply(L, O, rhs, unroll: int = 1):
     """Solve A x = rhs given the Thomas factor (stacked panel Cholesky
     factors L) — two cheap scans. rhs (Np, d, K) -> (Np, d, K)."""
@@ -515,6 +564,7 @@ def solve_schur_banded(
     corr_window: int = 0,
     corr_lm_chunk: int = 128,
     axis_name: str | None = None,
+    unroll: int = 1,
 ):
     """Banded drop-in for :func:`uslam_tpu.solvers.schur.solve_schur`
     (same delta layout [frames(9N), bias(6), landmarks(3M)]).
@@ -604,22 +654,32 @@ def solve_schur_banded(
         jnp.eye(panel * FRAME_DIM, dtype=dtype),
     )
 
-    t_inv = block_tridiag_factor(D, O)
+    def _pad_rhs(rhs_flat):
+        k = rhs_flat.shape[-1]
+        r = jnp.pad(rhs_flat, ((0, (n_pad - n) * FRAME_DIM), (0, 0)))
+        return r.reshape(Np, panel * FRAME_DIM, k)
+
+    def _unpad(x, k):
+        return x.reshape(n_pad * FRAME_DIM, k)[: n * FRAME_DIM]
+
+    # ---- bordered (bias) solve with refinement ---------------------------
+    # The factorization sweep is fused with the forward substitution of the
+    # initial [g | bias-columns] solve (one fewer scan over the panels).
+    rhs = jnp.concatenate(
+        [g_s.reshape(-1, 1), bias_s.reshape(n * FRAME_DIM, BIAS_DIM)], axis=1
+    )
+    t_inv, X0 = block_tridiag_factor_apply(
+        D, O, _pad_rhs(rhs), unroll=unroll
+    )
+    X = _unpad(X0, rhs.shape[-1])
 
     def a_solve(rhs_flat):
         """rhs (9N, K) -> (9N, K) via the panel factor."""
         k = rhs_flat.shape[-1]
-        r = jnp.pad(rhs_flat, ((0, (n_pad - n) * FRAME_DIM), (0, 0)))
-        x = block_tridiag_apply(
-            t_inv, O, r.reshape(Np, panel * FRAME_DIM, k)
+        return _unpad(
+            block_tridiag_apply(t_inv, O, _pad_rhs(rhs_flat), unroll=unroll),
+            k,
         )
-        return x.reshape(n_pad * FRAME_DIM, k)[: n * FRAME_DIM]
-
-    # ---- bordered (bias) solve with refinement ---------------------------
-    rhs = jnp.concatenate(
-        [g_s.reshape(-1, 1), bias_s.reshape(n * FRAME_DIM, BIAS_DIM)], axis=1
-    )
-    X = a_solve(rhs)
     X1, X2 = X[:, 0], X[:, 1:]
     S = bb_s - bias_s.reshape(-1, BIAS_DIM).T @ X2
     y = jnp.linalg.solve(S, gb_s - bias_s.reshape(-1, BIAS_DIM).T @ X1)

@@ -135,6 +135,7 @@ def optimize_lm(
                 diag_damping=diag_damping,
                 corr_window=cfg.banded_corr_window,
                 axis_name=axis_name,
+                unroll=cfg.banded_unroll,
             )
         if use_schur:
             return solve_schur(
