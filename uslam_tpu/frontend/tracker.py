@@ -145,7 +145,13 @@ def _orb_pair_step(
         use_pallas=up,
     )
     if rel_rotvec is not None:
-        prev_xy = rotation_warp(prev_xy, rel_rotvec, kvec)
+        # Identity on an exactly-zero rotvec (no-IMU sequences) — the f32
+        # warp round trip is not bit-exact, and the rv=None branch skips it.
+        prev_xy = jnp.where(
+            jnp.any(rel_rotvec != 0.0),
+            rotation_warp(prev_xy, rel_rotvec, kvec),
+            prev_xy,
+        )
     flow = kp_l.xy - prev_xy[jnp.maximum(tm.idx, 0)]
     inlier = ransac_translation(flow, tm.mask, threshold=cfg.ransac_threshold_px)
     tm_idx = jnp.where(inlier, tm.idx, -1)
@@ -200,7 +206,15 @@ def _orb_chunk_step(pairs, prev_desc, prev_xy, prev_mask, cfg: FrontendConfig,
             use_pallas=up,
         )
     )(kp_l.desc, kp_l.mask, pdesc, pmask)
-    pxy_w = jax.vmap(lambda xy, rv: rotation_warp(xy, rv, kvec))(pxy, rotvecs)
+    # Skip the warp on an exactly-zero rotvec (no-IMU sequences): the f32
+    # pixel->ray->pixel round trip is not a bit-exact identity, and the
+    # per-frame `process` path skips the warp when rv is None — keep the
+    # chunked path bit-compatible with it.
+    pxy_w = jax.vmap(
+        lambda xy, rv: jnp.where(
+            jnp.any(rv != 0.0), rotation_warp(xy, rv, kvec), xy
+        )
+    )(pxy, rotvecs)
     flow = kp_l.xy - jnp.take_along_axis(
         pxy_w, jnp.maximum(tm.idx, 0)[:, :, None], axis=1
     )
@@ -296,9 +310,11 @@ class StereoFrontend:
                 tm_idx_j, tm_mask = self._associate_klt(left, kp_l)
                 prev_xy = self._prev.xy
                 if gyro_rotvec is not None:
-                    prev_xy = rotation_warp(
-                        prev_xy, jnp.asarray(gyro_rotvec, jnp.float32),
-                        self._kvec(),
+                    rv = jnp.asarray(gyro_rotvec, jnp.float32)
+                    prev_xy = jnp.where(
+                        jnp.any(rv != 0.0),
+                        rotation_warp(prev_xy, rv, self._kvec()),
+                        prev_xy,
                     )
                 flow = kp_l.xy - prev_xy[jnp.maximum(tm_idx_j, 0)]
                 inlier = ransac_translation(
@@ -393,9 +409,15 @@ class StereoFrontend:
         ORB temporal tracker only (KLT chunks fall back to per-frame).
         ``pad_to`` pads a ragged tail chunk with zero images so every chunk
         reuses one compiled program; padded outputs are discarded.
+
+        Mixing ``process_chunk`` with a KLT-configured ``process()`` call on
+        the same instance is unsupported: a chunk invalidates the previous
+        raw image (``_prev_img``) that KLT association needs.
         """
         cfg = self.cfg
         n_real = len(ts)
+        if n_real == 0:
+            return []
         if cfg.temporal_tracker == "klt":
             return [
                 self.process(

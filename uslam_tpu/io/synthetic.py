@@ -25,6 +25,11 @@ import numpy as np
 from uslam_tpu.config import CameraConfig, PressureConfig
 from uslam_tpu.io.sequence import FeatureFrame, SensorSequence
 
+# Bump whenever the renderer or SyntheticSpec defaults change behavior:
+# disk caches of rendered streams (bench.py) key on this so a renderer
+# change can never silently reuse stale imagery.
+RENDER_VERSION = 1
+
 
 @dataclass
 class SyntheticSpec:

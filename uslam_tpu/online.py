@@ -65,11 +65,13 @@ class OnlineSlam:
     # per-keyframe convergence buys nothing (measured on a 30 s 1080p
     # stream: median latency 95 -> 86 ms, worst keyframe 38 -> 8
     # iterations, ATE 0.125 -> 0.091 — the capped solve tracks BETTER; the
-    # f32 LM tail on a small window chases noise). Fill-phase solves
-    # always run to the full config.solver policy: they start from raw
-    # odometry and are baked into the first marginal. None = steady state
-    # also solves to full convergence.
-    max_update_iters: int | None = 8
+    # f32 LM tail on a small window chases noise). Cap 5 vs 8 re-measured
+    # on the 20 s stream: latency unchanged (the step is fetch-bound) and
+    # ATE 0.102 -> 0.093 — the tighter cap tracks better still. Fill-phase
+    # solves always run to the full config.solver policy: they start from
+    # raw odometry and are baked into the first marginal. None = steady
+    # state also solves to full convergence.
+    max_update_iters: int | None = 5
 
     def __post_init__(self):
         self.frontend = StereoFrontend(self.config.camera, self.config.frontend)

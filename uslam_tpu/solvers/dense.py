@@ -68,8 +68,15 @@ def inv3x3(A):
     )
     X = adj / det[..., None, None]
     # One Newton-Schulz step: ||I - A X'|| ~= ||I - A X||^2 (~2e-4 -> 1e-7).
+    # Precision pinned HIGHEST explicitly: under TPU's default bf16 matmul
+    # passes this "refinement" would carry ~4e-3 error — worse than the raw
+    # cofactor inverse it corrects — so correctness must not depend on the
+    # caller's default_matmul_precision context.
     eye = jnp.eye(3, dtype=A.dtype)
-    return X @ (2.0 * eye - A @ X)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(
+        X, 2.0 * eye - jnp.matmul(A, X, precision=hi), precision=hi
+    )
 
 
 def _block_rows(off, d):
