@@ -44,15 +44,30 @@ OP_CONNECTION = 0x07
 
 
 def _parse_fields(buf: bytes) -> dict:
-    """name=value fields of a record header (or connection header)."""
+    """name=value fields of a record header (or connection header).
+
+    Raises :class:`ValueError` on malformed input (a length field that
+    overruns the buffer, or an item with no ``=``) — bags are untrusted
+    binary input and must fail loudly, never silently truncate.
+    """
     fields = {}
     off = 0
-    while off < len(buf):
+    n = len(buf)
+    while off < n:
+        if off + 4 > n:
+            raise ValueError("rosbag: truncated header field length")
         (flen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if flen > n - off:
+            raise ValueError(
+                f"rosbag: header field length {flen} overruns buffer "
+                f"({n - off} bytes left)"
+            )
         item = buf[off : off + flen]
         off += flen
-        eq = item.index(b"=")
+        eq = item.find(b"=")
+        if eq < 0:
+            raise ValueError("rosbag: malformed header field (no '=')")
         fields[item[:eq].decode()] = item[eq + 1 :]
     return fields
 
@@ -66,15 +81,31 @@ def _encode_fields(fields: dict) -> bytes:
 
 
 def _iter_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (header_fields, data) records; :class:`ValueError` on a record
+    whose length fields lie (overrun the buffer) or whose tail is truncated."""
     off = 0
     n = len(buf)
     while off < n:
+        if off + 4 > n:
+            raise ValueError("rosbag: truncated record (header length)")
         (hlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if hlen > n - off:
+            raise ValueError(
+                f"rosbag: record header length {hlen} overruns buffer "
+                f"({n - off} bytes left)"
+            )
         header = _parse_fields(buf[off : off + hlen])
         off += hlen
+        if off + 4 > n:
+            raise ValueError("rosbag: truncated record (data length)")
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if dlen > n - off:
+            raise ValueError(
+                f"rosbag: record data length {dlen} overruns buffer "
+                f"({n - off} bytes left)"
+            )
         data = buf[off : off + dlen]
         off += dlen
         yield header, data
@@ -84,14 +115,20 @@ def _decompress(data: bytes, compression: str) -> bytes:
     if compression in ("none", ""):
         return data
     if compression == "bz2":
-        return bz2.decompress(data)
+        try:
+            return bz2.decompress(data)
+        except (OSError, ValueError, EOFError) as e:
+            raise ValueError(f"rosbag: corrupt bz2 chunk: {e}") from e
     if compression == "lz4":
         try:  # C-accelerated package when present
             import lz4.frame
         except ImportError:
             from uslam_tpu.io import lz4f
 
-            return lz4f.decompress(data)
+            try:
+                return lz4f.decompress(data)
+            except (ValueError, IndexError, struct.error) as e:
+                raise ValueError(f"rosbag: corrupt lz4 chunk: {e}") from e
         return lz4.frame.decompress(data)  # pragma: no cover - not in image
     raise ValueError(f"unknown chunk compression {compression!r}")
 
@@ -227,10 +264,16 @@ class MessageSchema:
         return ops
 
     def deserialize(self, buf: bytes, offset: int = 0) -> dict:
-        msg, _ = self._run(self._ops, buf, offset)
+        try:
+            msg, _ = self._run(self._ops, buf, offset)
+        except struct.error as e:
+            raise ValueError(
+                f"rosbag: truncated {self.type_name} message: {e}"
+            ) from e
         return msg
 
     def _run(self, ops, buf, off):
+        n = len(buf)
         out = {}
         for op in ops:
             kind = op[0]
@@ -249,6 +292,11 @@ class MessageSchema:
             elif kind == "string":
                 (slen,) = struct.unpack_from("<I", buf, off)
                 off += 4
+                if slen > n - off:
+                    raise ValueError(
+                        f"rosbag: string length {slen} overruns "
+                        f"{self.type_name} message ({n - off} bytes left)"
+                    )
                 out[op[1]] = buf[off : off + slen].decode(errors="replace")
                 off += slen
             elif kind == "nparray":
@@ -256,6 +304,11 @@ class MessageSchema:
                 if count < 0:
                     (count,) = struct.unpack_from("<I", buf, off)
                     off += 4
+                if isz * count > n - off:
+                    raise ValueError(
+                        f"rosbag: array of {count} x {isz}B overruns "
+                        f"{self.type_name} message ({n - off} bytes left)"
+                    )
                 out[name] = np.frombuffer(buf, dt, count, off).copy()
                 off += isz * count
             elif kind == "strarray":
@@ -263,10 +316,20 @@ class MessageSchema:
                 if count < 0:
                     (count,) = struct.unpack_from("<I", buf, off)
                     off += 4
+                if 4 * count > n - off:  # each item carries >= a length word
+                    raise ValueError(
+                        f"rosbag: string array count {count} overruns "
+                        f"{self.type_name} message"
+                    )
                 items = []
                 for _ in range(count):
                     (slen,) = struct.unpack_from("<I", buf, off)
                     off += 4
+                    if slen > n - off:
+                        raise ValueError(
+                            f"rosbag: string length {slen} overruns "
+                            f"{self.type_name} message ({n - off} bytes left)"
+                        )
                     items.append(buf[off : off + slen].decode(errors="replace"))
                     off += slen
                 out[name] = items
@@ -277,6 +340,13 @@ class MessageSchema:
                 if count < 0:
                     (count,) = struct.unpack_from("<I", buf, off)
                     off += 4
+                # A lying count field must not drive an unbounded loop: even
+                # zero-size submessages are capped by one-byte-per-item here.
+                if count > n - off:
+                    raise ValueError(
+                        f"rosbag: message array count {count} overruns "
+                        f"{self.type_name} message ({n - off} bytes left)"
+                    )
                 items = []
                 for _ in range(count):
                     item, off = self._run(sub_ops, buf, off)
@@ -338,12 +408,28 @@ def read_bag(path: str, topics=None) -> Iterator[BagMessage]:
             raise ValueError(f"{path}: not a rosbag v2.0 file")
         buf = f.read()
 
+    _KNOWN_OPS = (OP_MESSAGE, OP_BAG_HEADER, OP_INDEX, OP_CHUNK,
+                  OP_CHUNK_INFO, OP_CONNECTION)
+
+    def record_op(header: dict) -> int:
+        op_field = header.get("op")
+        if not op_field:
+            raise ValueError("rosbag: record missing 'op' header field")
+        op = op_field[0]
+        if op not in _KNOWN_OPS:
+            # v2.0 is a frozen format: an op outside 0x02-0x07 is corruption,
+            # not a future extension.
+            raise ValueError(f"rosbag: unknown record op 0x{op:02x}")
+        return op
+
     for header, data in _iter_records(buf):
-        op = header["op"][0]
+        op = record_op(header)
         if op == OP_CHUNK:
+            if "compression" not in header:
+                raise ValueError("rosbag: chunk record missing 'compression'")
             inner = _decompress(data, header["compression"].decode())
             for ih, idata in _iter_records(inner):
-                iop = ih["op"][0]
+                iop = record_op(ih)
                 if iop == OP_CONNECTION:
                     handle_connection(ih, idata)
                 elif iop == OP_MESSAGE:
@@ -584,6 +670,23 @@ def _bag_to_sequence_native(path: str, tp: BagTopics) -> SensorSequence:
 
     def scan(buf: np.ndarray, bidx: int):
         ops, cids, times, h_off, h_len, d_off, d_len = native.bag_scan_records(buf)
+        # The C++ scanner STOPS (rather than overrunning) at a record whose
+        # length fields lie or whose tail is truncated; unconsumed bytes
+        # therefore mean a corrupt bag, and must raise — same contract as
+        # the pure-Python _iter_records path.
+        end = int(d_off[-1] + d_len[-1]) if len(ops) else 0
+        if end != len(buf):
+            raise ValueError(
+                f"rosbag: truncated or corrupt record at byte {end} "
+                f"({len(buf) - end} trailing bytes unparseable)"
+            )
+        if (ops == 0).any() or not np.isin(
+            ops, (OP_MESSAGE, OP_BAG_HEADER, OP_INDEX, OP_CHUNK,
+                  OP_CHUNK_INFO, OP_CONNECTION)
+        ).all():
+            bad = ops[~np.isin(ops, (OP_MESSAGE, OP_BAG_HEADER, OP_INDEX,
+                                     OP_CHUNK, OP_CHUNK_INFO, OP_CONNECTION))]
+            raise ValueError(f"rosbag: unknown record op 0x{int(bad[0]):02x}")
         for j in np.nonzero(ops != OP_MESSAGE)[0]:
             op = ops[j]
             if op == OP_CONNECTION:
