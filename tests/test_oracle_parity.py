@@ -211,3 +211,57 @@ def test_ate_parity_vs_exact_oracle_1k_bench_scale():
 
     assert ate_f32 <= ate_oracle * 3.5, (ate_f32, ate_oracle)
     assert ate_polished <= ate_oracle * 1.01 + 1e-4, (ate_polished, ate_oracle)
+
+
+def test_reference_default_policy_converges():
+    """The documented reference-default LM mapping (PARITY.md C11:
+    damping_mode='identity', lambda_lower_bound=0, plateau_patience=0 —
+    `gtsam.LevenbergMarquardtParams()` semantics at reference batch.py:337)
+    reaches the f64-exact optimum inside this framework's solver, in f64
+    like GTSAM itself. This certifies the *reference's policy*, not just
+    the f32-tuned production policy, against the oracle."""
+    import dataclasses
+
+    spec = SyntheticSpec(
+        duration=4.0,           # 20 keyframes at 5 Hz: small graph
+        keyframe_rate=5.0,
+        num_landmarks=32,
+        odom_drift_rate=0.05,
+        feature_noise_px=0.3,
+        seed=7,
+    )
+    seq = generate_synthetic_sequence(spec)
+    cfg = UslamConfig()
+    cam = StereoCamera.from_config(cfg.camera)
+    ref_solver = dataclasses.replace(
+        cfg.solver,
+        damping_mode="identity",
+        lambda_lower_bound=0.0,
+        plateau_patience=0,
+        max_iterations=40,
+    )
+
+    with jax.enable_x64():
+        graph, initial, _odom, _ = pack_sequence(seq, cfg, dtype=jnp.float64)
+        vals, stats = optimize_lm(
+            graph, initial, cam, cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+            cfg.imu.gravity, ref_solver,
+        )
+        oracle_vals, oracle_error = _exact_f64_optimize(
+            graph, initial, cam, cfg
+        )
+
+    assert bool(stats.converged)
+    final = float(stats.final_error)
+    # Same optimum as the exact dense-f64 LM (cost is the formulation-
+    # independent quality number; see bench cost_vs_f64_opt). 5e-4 relative:
+    # the identity-damped policy stops on GTSAM's absolute/relative decrease
+    # tests with lambda not fully annealed (measured 7e-5 above the oracle).
+    assert final <= oracle_error * (1.0 + 5e-4), (final, oracle_error)
+    # And the trajectories agree to mm level (both are f64, but each stops
+    # at a slightly different point of the same flat cost valley — measured
+    # max pose difference 1.4 mm at 7e-5 relative cost difference).
+    np.testing.assert_allclose(
+        np.asarray(vals.pose_trans), np.asarray(oracle_vals.pose_trans),
+        atol=5e-3,
+    )
