@@ -27,8 +27,14 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     t0 = time.perf_counter()
     __graft_entry__.dryrun_multichip(n)
+    # Record the source-tree token so the next dryrun_multichip can detect
+    # (and WARN about) a compute-path edit that invalidated the cache.
+    token = __graft_entry__.compute_warm_token()
+    os.makedirs(os.path.dirname(__graft_entry__._WARM_STAMP), exist_ok=True)
+    with open(__graft_entry__._WARM_STAMP, "w") as f:
+        f.write(token + "\n")
     print(f"warm_dryrun: dryrun_multichip({n}) completed in "
-          f"{time.perf_counter() - t0:.0f}s (cache warm)")
+          f"{time.perf_counter() - t0:.0f}s (cache warm, stamp {token})")
 
 
 if __name__ == "__main__":
