@@ -40,7 +40,13 @@ import time
 import numpy as np
 
 _T0 = time.perf_counter()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "780"))
+# 860 s: the driver's kill is `timeout` (BENCH_r03 rc=124) and strikes
+# somewhere past ~910 s — r4's run EXITED rc=0 at ~907 s elapsed, r3 was
+# killed mid-block at ~900+ s. Gates check worst-case estimates BEFORE
+# starting a block, so the process exits at most a few seconds past the
+# budget — 860 keeps the finish inside the proven-safe ~907 s envelope
+# while fitting the full evidence set on a warm cache (~700 s measured).
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "860"))
 
 
 def log(*a):
@@ -451,6 +457,10 @@ def main() -> None:
         # insensitive to iters 2 vs 4 (validated on TPU, r5). Halves the
         # most expensive optional block (407 -> ~200 s at 4k).
         q_iters = int(os.environ.get("BENCH_SCALE_QUALITY_ITERS", "2"))
+        # LARGEST problem first: the 4k certificate is the round's headline
+        # quality evidence and must not be starved by the cheaper 2k pass
+        # when the budget tail is short (gates skip whatever doesn't fit).
+        quality_jobs.sort(key=lambda j: -j[0])
         for n_scale, sgraph, svals, sstats, scfg, sseq, entry in quality_jobs:
             # Measured r4: 135 s at 2k, 407 s at 4k (4 polish iters).
             if not fits(40 + 0.025 * n_scale * q_iters, f"scale {n_scale} quality"):
@@ -573,26 +583,37 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
     spec_tok = hashlib.sha256(
         (repr(spec) + f"|render_v{_synth.RENDER_VERSION}").encode()
     ).hexdigest()[:10]
-    cache_path = f"/tmp/uslam_bench_online_stream_{spec_tok}.npz"
-    # One-time migration from the pre-hash cache name (same spec, render_v1).
-    legacy = f"/tmp/uslam_bench_online_stream_{int(duration)}s_seed3.npz"
-    if (
-        not os.path.exists(cache_path)
-        and os.path.exists(legacy)
-        and _synth.RENDER_VERSION == 1
-    ):
-        os.replace(legacy, cache_path)
-        log(f"bench[online]: migrated legacy stream cache -> {cache_path}")
+    # Uncompressed .npy files + mmap load: savez_compressed cost ~1 min to
+    # write AND ~1 min to decompress on this 1-core box — a silent hole in
+    # the online block's wall budget (r5). mmap pages each 2 MB frame in on
+    # first touch (~ms, overlapped with the stream replay).
+    cache_dir = f"/tmp/uslam_bench_online_stream_{spec_tok}"
+    cache_ok = os.path.exists(os.path.join(cache_dir, "image_t.npy"))
+    legacy_npz = f"/tmp/uslam_bench_online_stream_{spec_tok}.npz"
+    if not cache_ok and os.path.exists(legacy_npz):
+        # One-time migration from the compressed cache format.
+        z = np.load(legacy_npz)
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(os.path.join(cache_dir, "left.npy"), z["left"])
+        np.save(os.path.join(cache_dir, "right.npy"), z["right"])
+        np.save(os.path.join(cache_dir, "image_t.npy"), z["image_t"])
+        cache_ok = True
+        log(f"bench[online]: migrated npz stream cache -> {cache_dir}/")
     seq = generate_synthetic_sequence(
         spec,
-        render_images=not os.path.exists(cache_path),
+        render_images=not cache_ok,
         omit_features=True,
     )
-    if os.path.exists(cache_path):
-        z = np.load(cache_path)
-        seq.images_left, seq.images_right = z["left"], z["right"]
-        seq.image_t = z["image_t"]
-        log(f"bench[online]: loaded cached stream {cache_path}")
+    if cache_ok:
+        seq.images_left = np.load(
+            os.path.join(cache_dir, "left.npy"), mmap_mode="r"
+        )
+        seq.images_right = np.load(
+            os.path.join(cache_dir, "right.npy"), mmap_mode="r"
+        )
+        seq.image_t = np.load(os.path.join(cache_dir, "image_t.npy"))
+        log(f"bench[online]: mmapped cached stream {cache_dir}/ "
+            f"({time.perf_counter()-t0:.1f}s)")
     else:
         # uint8 frames: 1/4 upload bytes; the device program casts to f32.
         seq.images_left = np.clip(seq.images_left, 0, 255).astype(np.uint8)
@@ -600,10 +621,10 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
         log(f"bench[online]: rendered {len(seq.image_t)} stereo pairs in "
             f"{time.perf_counter()-t0:.1f}s")
         try:
-            np.savez_compressed(
-                cache_path, left=seq.images_left, right=seq.images_right,
-                image_t=seq.image_t,
-            )
+            os.makedirs(cache_dir, exist_ok=True)
+            np.save(os.path.join(cache_dir, "left.npy"), seq.images_left)
+            np.save(os.path.join(cache_dir, "right.npy"), seq.images_right)
+            np.save(os.path.join(cache_dir, "image_t.npy"), seq.image_t)
         except Exception as e:  # disk-full etc. — cache is optional
             log(f"bench[online]: stream cache write failed: {e}")
 
@@ -643,6 +664,8 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
         else:
             online.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
     wall = time.perf_counter() - t_wall
+    log(f"bench[online]: sync replay wall {wall:.1f}s "
+        f"(incl. fill-phase + first-keyframe compiles/reloads)")
 
     # Steady state = device-resident entries (they carry solve_ms), minus
     # the first two (window-step + frontend compile tails).
@@ -701,6 +724,7 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
             piped.add_stereo_frame(t, seq.images_left[i], seq.images_right[i])
     piped.flush()
     p_wall = time.perf_counter() - t_wall
+    log(f"bench[online]: pipelined replay wall {p_wall:.1f}s")
     p_steady = [e for e in piped.timings if e.get("pipelined")][2:]
     if not p_steady:
         return sync_stats
@@ -717,6 +741,12 @@ def bench_online(duration: float = 30.0, window: int = 10, fused: bool = True) -
         "rtt_ms": round(rtt_ms, 1),
         "result_lag_keyframes": 1,
     }
+    # Critical-path split medians (threaded-upload overlap diagnosis).
+    for k in ("pair_stack_ms", "harvest_wait_ms", "prep_ms", "pair_wait_ms",
+              "dispatch_ms"):
+        ms = [e[k] for e in p_steady if k in e]
+        if ms:
+            stats[k] = round(float(np.median(ms)), 1)
     p_iters = [e["lm_iters"] for e in p_steady if "lm_iters" in e]
     if p_iters:
         stats["lm_iters_median"] = int(np.median(p_iters))

@@ -36,6 +36,19 @@ try:
 except Exception:  # pragma: no cover - older jax
     pass
 
+# vm.max_map_count: a full single-process suite accumulates enough live
+# XLA:CPU executable mmaps to hit the kernel default ceiling (65530) and
+# SEGFAULT inside LLVM around the ~140th test (see the module fixture
+# below). The fix is applied per-boot; this box reboots between rounds,
+# so re-apply it here (we run as root; harmless no-op when not).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576\n")
+except (OSError, PermissionError, ValueError):  # pragma: no cover
+    pass
+
 import pytest  # noqa: E402
 
 

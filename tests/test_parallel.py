@@ -239,6 +239,7 @@ def test_sharded_production_lm_matches_single_device(duration):
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_production_lm_full_solve_converges():
     """Short end-to-end smoke: the sharded production LM runs to
     CONVERGENCE in f64 and reaches the expected error decade (the
@@ -247,7 +248,13 @@ def test_sharded_production_lm_full_solve_converges():
 
     duration 2.0 (vs the pin's 3.0): a smaller graph halves the f64
     while_loop's per-iteration interpretation cost on the 1-core
-    8-virtual-device mesh — this test only exercises termination."""
+    8-virtual-device mesh — this test only exercises termination.
+
+    Marked slow (USLAM_RUN_SLOW=1): the f64 full-convergence while_loop on
+    the 8-virtual-device 1-core mesh is minutes of pure interpretation per
+    run, and its assertions are covered every run by the 3-iteration f64
+    equivalence pin above plus the f32 banded convergence smoke
+    (test_sharded_banded_production_lm_smoke)."""
     slam, graph, initial, _ = build_graph(
         duration=2.0, drift=0.05, feature_noise=0.3, seed=2
     )

@@ -57,6 +57,14 @@ class OnlineSlam:
     # :meth:`flush` (or ``trajectory()``, which flushes) to drain the
     # last pending keyframe.
     pipelined: bool = False
+    # Ship the stereo-pair upload from a worker thread (steady-state fused
+    # path only): through a high-latency device link, ``jax.device_put`` of
+    # the ~4 MB pair BLOCKS the caller while the bytes stream out (measured
+    # ~60-80 ms — the bulk of the keyframe critical path), and the transport
+    # releases the GIL, so the harvest of the previous keyframe's result and
+    # the host-side record math overlap the upload instead of queueing
+    # behind it. Falls back to a synchronous put if the worker errors.
+    threaded_upload: bool = True
     # Bounded-work STEADY-STATE update (ISAM2 semantics — the reference's
     # isam.update is ONE bounded refinement per keyframe, isam.py:341):
     # once the window is full, cap the per-keyframe window LM at this many
@@ -101,6 +109,7 @@ class OnlineSlam:
             steady_solver=self._steady_solver,
         )
         self._fe_state = None          # device FusedFrontendState
+        self._upload_pool = None       # lazy 1-thread executor (threaded_upload)
         self._pending = None           # pipelined: (outputs, imu, twist, entry)
         self._last_values = None       # pipelined: previous keyframe estimate
         self._helper = AUVSlam(self.config)   # landmark triangulation helper
@@ -249,14 +258,28 @@ class OnlineSlam:
                 )
             )
 
-        # Start the big upload FIRST; it proceeds while the host prepares
-        # the record below (device_put returns immediately).
+        # Start the big upload FIRST; everything below overlaps it. Through
+        # the tunnel device_put blocks while the ~4 MB streams out, so in
+        # threaded mode a worker thread owns the put (the transport releases
+        # the GIL) and the main thread harvests / preps the record meanwhile.
         pair = np.stack([np.asarray(left), np.asarray(right)])
-        pair_dev = jax.device_put(pair)
+        pair_fut = None
+        if self.threaded_upload:
+            if self._upload_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._upload_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="uslam-upload"
+                )
+            pair_fut = self._upload_pool.submit(jax.device_put, pair)
+        else:
+            pair_dev = jax.device_put(pair)
+        t_pair = _time.perf_counter()
 
         # Pipelined: finish the previous keyframe's bookkeeping now (its
         # async fetch has had a full inter-keyframe interval to land).
         self._harvest_pending()
+        t_harv = _time.perf_counter()
 
         rv = np.zeros(3)
         if self._imu_buf and self.keyframes > 0:
@@ -284,6 +307,12 @@ class OnlineSlam:
             [cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy],
             np.float32,
         )
+        t_prep = _time.perf_counter()
+        if pair_fut is not None:
+            try:
+                pair_dev = pair_fut.result()
+            except Exception:  # worker/transport quirk — retry inline
+                pair_dev = jax.device_put(pair)
         t1 = _time.perf_counter()
         sm._dev_state, self._fe_state, outputs = _fused_keyframe_step(
             sm._dev_state, self._fe_state, pair_dev, packed,
@@ -301,6 +330,10 @@ class OnlineSlam:
             t2 = _time.perf_counter()
             entry = {
                 "record_ms": (t1 - t0) * 1e3,
+                "pair_stack_ms": (t_pair - t0) * 1e3,
+                "harvest_wait_ms": (t_harv - t_pair) * 1e3,
+                "prep_ms": (t_prep - t_harv) * 1e3,
+                "pair_wait_ms": (t1 - t_prep) * 1e3,
                 "dispatch_ms": (t2 - t1) * 1e3,
                 "frontend_ms": 0.0,
                 "triangulate_ms": 0.0,
@@ -322,6 +355,10 @@ class OnlineSlam:
         values = self._finish_keyframe(fetched, imu_samples, twist)
         entry = {
             "record_ms": (t1 - t0) * 1e3,
+            "pair_stack_ms": (t_pair - t0) * 1e3,
+            "harvest_wait_ms": (t_harv - t_pair) * 1e3,
+            "prep_ms": (t_prep - t_harv) * 1e3,
+            "pair_wait_ms": (t1 - t_prep) * 1e3,
             "solve_ms": (t2 - t1) * 1e3,
             "fetch_ms": (t3 - t2) * 1e3,
             "frontend_ms": 0.0,      # fused into solve_ms
