@@ -189,14 +189,18 @@ class SolverConfig:
     # per-step-overhead-bound on TPU — so each refinement pass costs ~15 ms
     # at 4k poses, and the panelized Cholesky with Jacobi scaling needs
     # less cleanup than the one big dense factor: measured at the 4k
-    # survey, 2 passes vs 4 is -30 ms/iter (159 -> 129) at the SAME outer
-    # iteration count, +0.08% final cost, +0.0005 ATE (CLAUDE.md r4).
-    banded_refine_iters: int = 2
+    # survey (TPU v5e), refine 2 -> 1 is 143 -> ~120 ms/iter at the same
+    # outer iteration count and a LOWER final cost (6.30e4 -> 6.03e4 —
+    # within the f32 accept/reject luck band), after r4 already measured
+    # 4 -> 2 as free. One pass keeps the f32 residual cleanup; the lambda
+    # floor, not refinement depth, limits the LM tail (CLAUDE.md).
+    banded_refine_iters: int = 1
     # lax.scan unroll factor for the Thomas factor/apply sweeps (each scan
     # step costs ~50 us of loop overhead on TPU regardless of body size;
     # at 4k poses one banded solve runs ~6 sweeps of N/panel steps, so
-    # unrolling trades compile time for a few ms/iteration).
-    banded_unroll: int = 1
+    # unrolling trades compile time for a few ms/iteration: measured at
+    # the 4k survey, unroll 1 -> 2 is ~120 -> ~115 ms/iter at equal cost.
+    banded_unroll: int = 2
     # Eliminate the velocity chain (dense scaled Cholesky of the 3N
     # velocity block + one symmetric G^T G correction matmul) before the
     # reduced factorization: the big Cholesky shrinks from 9N+6 to 6N+6
