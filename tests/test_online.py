@@ -60,12 +60,13 @@ def test_online_drops_unsynchronized_frames():
 
 def test_steady_state_iteration_cap_default():
     """Regression pin for the bounded steady-state update (VERDICT r4 #3):
-    the default per-keyframe window LM cap is 5 iterations (measured on the
-    20 s 1080p stream: latency unchanged vs 8 — the step is fetch-bound —
-    and ATE improved 0.102 -> 0.093; reference isam.update is likewise one
-    bounded refinement per keyframe, isam.py:341)."""
+    the default per-keyframe window LM cap is 4 iterations (cap sweep on
+    the 30 s 1080p stream, r5: 5 -> ATE 0.0781; 4 -> median 85.6 ms, ATE
+    0.0724; 3 -> median 86.0 ms, ATE 0.0954 — 4 wins on both latency and
+    quality; reference isam.update is likewise one bounded refinement per
+    keyframe, isam.py:341)."""
     online = OnlineSlam(UslamConfig())
-    assert online.max_update_iters == 5
-    assert online._steady_solver.max_iterations == 5
+    assert online.max_update_iters == 4
+    assert online._steady_solver.max_iterations == 4
     # Fill-phase solves keep the full config policy.
-    assert online.config.solver.max_iterations > 5
+    assert online.config.solver.max_iterations > 4

@@ -75,11 +75,16 @@ class OnlineSlam:
     # iterations, ATE 0.125 -> 0.091 — the capped solve tracks BETTER; the
     # f32 LM tail on a small window chases noise). Cap 5 vs 8 re-measured
     # on the 20 s stream: latency unchanged (the step is fetch-bound) and
-    # ATE 0.102 -> 0.093 — the tighter cap tracks better still. Fill-phase
-    # solves always run to the full config.solver policy: they start from
-    # raw odometry and are baked into the first marginal. None = steady
-    # state also solves to full convergence.
-    max_update_iters: int | None = 5
+    # ATE 0.102 -> 0.093 — the tighter cap tracks better still. Cap sweep
+    # on the 30 s 1080p stream (r5, pipelined): 5 -> ATE 0.0781; 4 ->
+    # median 85.6 ms, ATE 0.0724; 3 -> median 86.0 ms, ATE 0.0954 — 4 wins
+    # on both axes (below 4 the window step is no longer iteration-bound:
+    # per-keyframe device time is frontend + record + marginalization, so
+    # 3 only costs quality). Fill-phase solves always run to the full
+    # config.solver policy: they start from raw odometry and are baked
+    # into the first marginal. None = steady state also solves to full
+    # convergence.
+    max_update_iters: int | None = 4
 
     def __post_init__(self):
         self.frontend = StereoFrontend(self.config.camera, self.config.frontend)
