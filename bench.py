@@ -88,6 +88,60 @@ def emit(out: dict) -> None:
 _PERTURB_RNG = np.random.default_rng(20260818)
 
 
+def _f64_opt_cache_key(graph, sigmas_grav: tuple, scfg) -> str:
+    """Problem-identity key for the cached f64-exact optimum cost.
+
+    The f64 polish converges to the optimizer-independent optimum cost from
+    ANY starting point (certified <1e-9 relative vs a from-scratch f64
+    oracle, tests/test_banded_scale.py / test_oracle_parity.py), so the
+    optimum is a property of the PROBLEM — the packed graph + noise model —
+    not of the run. Hash every graph leaf's bytes plus the noise/config
+    repr; any change to the synthetic spec, packing, or objective flips the
+    key and forces a live recompute.
+    """
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(graph):
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    h.update(repr(sigmas_grav).encode())
+    h.update(repr(scfg).encode())
+    return h.hexdigest()[:16]
+
+
+def _f64_opt_cached(tag: str, key: str, compute):
+    """Disk-cached f64-optimum quality pass (cost + polished ATE).
+
+    The f64 polish is the bench's most expensive optional block (~200 s at
+    4k even at 2 iters on this 1-core host) and its result is
+    run-independent (see _f64_opt_cache_key) — cache it in /tmp so the
+    certificate survives into budget-tight driver runs. Returns
+    (info_dict, was_cached).
+    """
+    path = f"/tmp/uslam_bench_f64opt_{key}.json"
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                info = json.load(f)
+            log(f"bench[{tag}]: f64 optimum loaded from cache {path} "
+                f"(cost {info['polish_final_error']:.6e})")
+            return info, True
+        except Exception as e:
+            log(f"bench[{tag}]: f64 optimum cache unreadable ({e}); recomputing")
+    info = compute()
+    try:
+        with open(path, "w") as f:
+            json.dump(info, f)
+    except Exception as e:  # cache is best-effort
+        log(f"bench[{tag}]: f64 optimum cache write failed: {e}")
+    return info, False
+
+
 def perturb_initial(initial, scale: float = 1e-3):
     """Perturb the initial pose translations between timing reps.
 
@@ -482,29 +536,56 @@ def main() -> None:
         # when the budget tail is short (gates skip whatever doesn't fit).
         quality_jobs.sort(key=lambda j: -j[0])
         for n_scale, sgraph, svals, sstats, scfg, sseq, entry in quality_jobs:
-            # Measured r4: 135 s at 2k, 407 s at 4k (4 polish iters).
-            if not fits(40 + 0.025 * n_scale * q_iters, f"scale {n_scale} quality"):
+            key = _f64_opt_cache_key(
+                sgraph,
+                (cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                 cfg.imu.gravity, q_iters),
+                scfg,
+            )
+            cached = os.path.exists(f"/tmp/uslam_bench_f64opt_{key}.json")
+            # Measured r4: 135 s at 2k, 407 s at 4k (4 polish iters); a
+            # cache hit needs only the hash+read (<5 s incl. the key).
+            est = 8.0 if cached else 40 + 0.025 * n_scale * q_iters
+            if not fits(est, f"scale {n_scale} quality"):
                 continue
             try:
                 t0 = time.perf_counter()
-                spol, spinfo = polish_f64(
-                    sgraph, svals, cam,
-                    cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
-                    cfg.imu.gravity, scfg, max_iters=q_iters,
+
+                def _compute(sgraph=sgraph, svals=svals, scfg=scfg, sseq=sseq):
+                    t1 = time.perf_counter()
+                    spol, spinfo = polish_f64(
+                        sgraph, svals, cam,
+                        cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                        cfg.imu.gravity, scfg, max_iters=q_iters,
+                    )
+                    info = {
+                        "polish_final_error": float(
+                            spinfo["polish_final_error"]
+                        ),
+                        "polish_seconds": round(time.perf_counter() - t1, 1),
+                    }
+                    if sseq.gt_pos is not None:
+                        info["ate_polished"] = round(
+                            _ate(
+                                np.asarray(spol.pose_trans),
+                                sseq.gt_pos[: spol.pose_trans.shape[0]],
+                            ),
+                            4,
+                        )
+                    return info
+
+                info, was_cached = _f64_opt_cached(
+                    f"scale {n_scale}", key, _compute
                 )
                 ratio = float(sstats.final_error) / max(
-                    spinfo["polish_final_error"], 1e-30
+                    info["polish_final_error"], 1e-30
                 )
                 entry["cost_vs_f64_opt"] = round(ratio, 4)
                 entry["quality_seconds"] = round(time.perf_counter() - t0, 1)
-                if sseq.gt_pos is not None:
-                    entry["ate_polished"] = round(
-                        _ate(
-                            np.asarray(spol.pose_trans),
-                            sseq.gt_pos[: spol.pose_trans.shape[0]],
-                        ),
-                        4,
-                    )
+                if was_cached:
+                    entry["f64_opt_cached"] = True
+                if "ate_polished" in info:
+                    entry["ate_polished"] = info["ate_polished"]
                 if ratio > 1.05:
                     entry["quality_alert"] = True
                     log(
@@ -521,42 +602,61 @@ def main() -> None:
     # tail from the f32 solution (test_oracle_parity pins this within 1% of
     # the f64-exact optimum). Host-CPU f64; LAST because it is the most
     # expensive optional block (~90 s/polish-iter at 1k on this box).
-    if (
-        os.environ.get("BENCH_POLISH", "1") == "1"
-        and seq.gt_pos is not None
-        and fits(230, "1k f64 polish")
-    ):
-        try:
-            from uslam_tpu.eval.metrics import ate_rmse
-            from uslam_tpu.solvers.polish import polish_f64
+    if os.environ.get("BENCH_POLISH", "1") == "1" and seq.gt_pos is not None:
+        p_iters = int(os.environ.get("BENCH_POLISH_ITERS", "2"))
+        p_key = _f64_opt_cache_key(
+            graph,
+            (cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+             cfg.imu.gravity, p_iters),
+            cfg.solver,
+        )
+        p_cached = os.path.exists(f"/tmp/uslam_bench_f64opt_{p_key}.json")
+        if fits(8.0 if p_cached else 230, "1k f64 polish"):
+            try:
+                from uslam_tpu.eval.metrics import ate_rmse
+                from uslam_tpu.solvers.polish import polish_f64
 
-            t0 = time.perf_counter()
-            pol_vals, pinfo = polish_f64(
-                graph, values_q, cam,
-                cfg.noise.dvl_sigma, cfg.noise.stereo_sigma, cfg.imu.gravity,
-                cfg.solver,
-                max_iters=int(os.environ.get("BENCH_POLISH_ITERS", "2")),
-            )
-            polish_s = time.perf_counter() - t0
-            ate_polished = ate_rmse(
-                np.asarray(pol_vals.pose_trans), seq.gt_pos[: initial.num_poses]
-            )
-            log(
-                f"bench: f64 polish {pinfo['polish_iterations']} iters in "
-                f"{polish_s:.1f}s, error {pinfo['polish_initial_error']:.6e}"
-                f" -> {pinfo['polish_final_error']:.6e}, ATE {ate:.4f} -> "
-                f"{ate_polished:.4f}"
-            )
-            out["ate_polished"] = round(float(ate_polished), 4)
-            out["cost_vs_f64_opt"] = round(
-                float(stats_q.final_error)
-                / max(pinfo["polish_final_error"], 1e-30),
-                4,
-            )
-            out["polish_seconds"] = round(float(polish_s), 1)
-            emit(out)
-        except Exception as e:
-            log(f"bench[polish]: FAILED: {type(e).__name__}: {e}")
+                t0 = time.perf_counter()
+
+                def _compute_1k():
+                    t1 = time.perf_counter()
+                    pol_vals, pinfo = polish_f64(
+                        graph, values_q, cam,
+                        cfg.noise.dvl_sigma, cfg.noise.stereo_sigma,
+                        cfg.imu.gravity, cfg.solver, max_iters=p_iters,
+                    )
+                    ate_polished = ate_rmse(
+                        np.asarray(pol_vals.pose_trans),
+                        seq.gt_pos[: initial.num_poses],
+                    )
+                    log(
+                        f"bench: f64 polish {pinfo['polish_iterations']} "
+                        f"iters in {time.perf_counter()-t1:.1f}s, error "
+                        f"{pinfo['polish_initial_error']:.6e} -> "
+                        f"{pinfo['polish_final_error']:.6e}, ATE {ate:.4f}"
+                        f" -> {ate_polished:.4f}"
+                    )
+                    return {
+                        "polish_final_error": float(
+                            pinfo["polish_final_error"]
+                        ),
+                        "polish_seconds": round(time.perf_counter() - t1, 1),
+                        "ate_polished": round(float(ate_polished), 4),
+                    }
+
+                info, was_cached = _f64_opt_cached("polish", p_key, _compute_1k)
+                out["ate_polished"] = info["ate_polished"]
+                out["cost_vs_f64_opt"] = round(
+                    float(stats_q.final_error)
+                    / max(info["polish_final_error"], 1e-30),
+                    4,
+                )
+                out["polish_seconds"] = round(time.perf_counter() - t0, 1)
+                if was_cached:
+                    out["f64_opt_cached"] = True
+                emit(out)
+            except Exception as e:
+                log(f"bench[polish]: FAILED: {type(e).__name__}: {e}")
 
     # Final (idempotent) re-emit: the driver parses the last stdout line.
     emit(out)
