@@ -91,7 +91,7 @@ def marginal_covariances(
     vel_indices: Sequence[int] = (),
     landmark_indices: Sequence[int] = (),
     include_bias: bool = False,
-    jitter: float = 1e-7,
+    jitter: float | None = None,
     refine_iters: int = 4,
 ) -> MarginalCovariances:
     """Marginal covariances of selected states at ``values``.
@@ -101,6 +101,15 @@ def marginal_covariances(
     GTSAM ``Marginals`` semantics, reference batch.py:337's engine).
     Index sequences are static Python ints (they shape the program).
     Fully jittable for fixed index tuples.
+
+    ``jitter=None`` resolves per dtype: 1e-7 in f64 (negligible against
+    the oracle tolerances), 1e-5 in f32 — the UNDAMPED reduced system's
+    weak modes sit below f32 Cholesky roundoff (scaled min eig measured
+    -8e-9 against eps*||Hs|| ~ 3e-7 on a small unconverged graph), so the
+    solver-safe 1e-7 can produce a NaN factor here where the LM solver,
+    protected by its lambda damping, survives. The refinement passes solve
+    against the UNJITTERED operator, so the extra jitter bias is removed
+    to first order.
     """
     pose_indices = tuple(int(i) for i in pose_indices)
     vel_indices = tuple(int(i) for i in vel_indices)
@@ -108,6 +117,8 @@ def marginal_covariances(
     n = values.num_poses
     pose_total = POSE_DIM * n
     dtype = values.pose_trans.dtype
+    if jitter is None:
+        jitter = 1e-7 if dtype == jnp.float64 else 1e-5
 
     lin = linearize_graph(
         graph, values, cam, dvl_sigma, stereo_sigma, gravity
@@ -203,7 +214,7 @@ def joint_marginal_covariance(
     stereo_sigma: float,
     gravity: float,
     keys: Sequence[tuple],
-    jitter: float = 1e-7,
+    jitter: float | None = None,
     refine_iters: int = 4,
 ) -> jnp.ndarray:
     """Full JOINT covariance over a set of states (GTSAM
@@ -233,6 +244,10 @@ def joint_marginal_covariance(
     n = values.num_poses
     pose_total = POSE_DIM * n
     dtype = values.pose_trans.dtype
+    # Same dtype-resolved default as marginal_covariances (f32 needs the
+    # larger PD margin on the undamped system; refinement removes the bias).
+    if jitter is None:
+        jitter = 1e-7 if dtype == jnp.float64 else 1e-5
 
     lin = linearize_graph(graph, values, cam, dvl_sigma, stereo_sigma, gravity)
     Hll_inv, _g_l, U, _V = landmark_elimination(lin, graph.stereo, n, 0.0)
