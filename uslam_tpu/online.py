@@ -61,9 +61,11 @@ class OnlineSlam:
     # path only): through a high-latency device link, ``jax.device_put`` of
     # the ~4 MB pair BLOCKS the caller while the bytes stream out (measured
     # ~60-80 ms — the bulk of the keyframe critical path), and the transport
-    # releases the GIL, so the harvest of the previous keyframe's result and
-    # the host-side record math overlap the upload instead of queueing
-    # behind it. Falls back to a synchronous put if the worker errors.
+    # releases the GIL, so the host-side record math overlaps the upload
+    # instead of queueing behind it (in pipelined mode the previous
+    # keyframe's harvest additionally overlaps THIS keyframe's device
+    # step — see the dispatch-then-harvest order in add_stereo_frame).
+    # Falls back to a synchronous put if the worker errors.
     threaded_upload: bool = True
     # Bounded-work STEADY-STATE update (ISAM2 semantics — the reference's
     # isam.update is ONE bounded refinement per keyframe, isam.py:341):
@@ -281,11 +283,6 @@ class OnlineSlam:
             pair_dev = jax.device_put(pair)
         t_pair = _time.perf_counter()
 
-        # Pipelined: finish the previous keyframe's bookkeeping now (its
-        # async fetch has had a full inter-keyframe interval to land).
-        self._harvest_pending()
-        t_harv = _time.perf_counter()
-
         rv = np.zeros(3)
         if self._imu_buf and self.keyframes > 0:
             buf = np.stack(self._imu_buf)
@@ -327,23 +324,32 @@ class OnlineSlam:
         )
         twist = np.asarray(self._twist[1], np.float64)
         if self.pipelined:
-            # Start the device->host copy now; harvest it at the next
-            # keyframe (or flush()). The window state stays on device, so
-            # correctness does not depend on when the copy lands. outputs
-            # is ONE packed f32 buffer (one transfer round trip).
+            # Start the device->host copy of THIS keyframe's outputs, then
+            # harvest the PREVIOUS keyframe — in that order, so keyframe k
+            # is already queued on the device while the host blocks on
+            # k-1's result copy. Harvesting before the dispatch (the old
+            # order) left the device idle for the whole copy round trip,
+            # so the steady-state cycle paid step+copy instead of step
+            # (measured 98 -> ~75 ms median through the tunnel). The
+            # window state stays on device, so correctness does not depend
+            # on when the copy lands; outputs is ONE packed f32 buffer
+            # (one transfer round trip), and the result lag stays one
+            # keyframe (_last_values updates in the harvest below).
             outputs.copy_to_host_async()
             t2 = _time.perf_counter()
+            self._harvest_pending()
+            t3 = _time.perf_counter()
             entry = {
                 "record_ms": (t1 - t0) * 1e3,
                 "pair_stack_ms": (t_pair - t0) * 1e3,
-                "harvest_wait_ms": (t_harv - t_pair) * 1e3,
-                "prep_ms": (t_prep - t_harv) * 1e3,
+                "prep_ms": (t_prep - t_pair) * 1e3,
                 "pair_wait_ms": (t1 - t_prep) * 1e3,
                 "dispatch_ms": (t2 - t1) * 1e3,
+                "harvest_wait_ms": (t3 - t2) * 1e3,
                 "frontend_ms": 0.0,
                 "triangulate_ms": 0.0,
-                "smoother_ms": (t2 - t0) * 1e3,
-                "total_ms": (t2 - t0) * 1e3,
+                "smoother_ms": (t3 - t0) * 1e3,
+                "total_ms": (t3 - t0) * 1e3,
                 "fused": True,
                 "pipelined": True,
             }
@@ -351,6 +357,7 @@ class OnlineSlam:
             self.timings.append(entry)
             self.keyframes += 1
             return self._last_values
+        self._harvest_pending()  # no-op unless a pipelined stream mixed modes
         jax.block_until_ready(outputs)
         t2 = _time.perf_counter()
         from uslam_tpu.solvers.fixed_lag import _unpack_step_outputs
@@ -361,8 +368,7 @@ class OnlineSlam:
         entry = {
             "record_ms": (t1 - t0) * 1e3,
             "pair_stack_ms": (t_pair - t0) * 1e3,
-            "harvest_wait_ms": (t_harv - t_pair) * 1e3,
-            "prep_ms": (t_prep - t_harv) * 1e3,
+            "prep_ms": (t_prep - t_pair) * 1e3,
             "pair_wait_ms": (t1 - t_prep) * 1e3,
             "solve_ms": (t2 - t1) * 1e3,
             "fetch_ms": (t3 - t2) * 1e3,
